@@ -1,0 +1,106 @@
+"""Benchmark: rasterize fwd+bwd ms/frame @1080p on one TPU chip.
+
+The BASELINE.json north-star metric. Synthetic scene sized like a mid-range
+real capture (default 300k gaussians, NeRF-Synthetic-lego scale — override
+with C3DGS_BENCH_N / C3DGS_BENCH_RES). Prints ONE json line:
+  {"metric": ..., "value": ms, "unit": "ms", "vs_baseline": ratio}
+
+vs_baseline compares against BASELINE_MS = 28 ms — the fwd+bwd frame time
+envelope of the reference CUDA diff-gaussian-rasterization at ~300k
+gaussians @1080p on an RTX-A5000-class part (no in-repo number exists,
+BASELINE.md; this is the commonly reported ballpark for 3DGS training
+steps). >1.0 means faster than that envelope.
+"""
+import json
+import math
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from c3dgs_tpu.models import gaussians as gmod
+    from c3dgs_tpu.ops import losses as L
+    from c3dgs_tpu.render.types import RasterSettings
+    from c3dgs_tpu.train import trainer
+
+    n = int(os.environ.get("C3DGS_BENCH_N", 300_000))
+    res = os.environ.get("C3DGS_BENCH_RES", "1920x1080")
+    width, height = (int(v) for v in res.split("x"))
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(n, 3)).astype(np.float32) * 2.0
+    pts[:, 2] += 6.0
+    cols = rng.random(size=(n, 3)).astype(np.float32)
+    scene = gmod.from_point_cloud(pts, cols, capacity=n, quantization=False)
+    # shrink splats to a realistic screen footprint (~few px radius)
+    scene = scene.replace(
+        scaling_factor=scene.scaling_factor + math.log(0.35)
+    )
+
+    settings = RasterSettings(
+        width=width,
+        height=height,
+        tanfovx=math.tan(0.6),
+        tanfovy=math.tan(0.6),
+        sh_degree=3,
+        instance_capacity=8 * n,
+    )
+    ev = jnp.asarray([0, 0, 0, 1, 0, 0, 0], jnp.float32)
+    bg = jnp.zeros(3)
+    gt = jnp.zeros((3, height, width))
+
+    def loss_fn(xyz, f_dc, f_rest, opacity, scaling, sf, rotation):
+        s = scene.replace(
+            xyz=xyz,
+            features_dc=f_dc,
+            features_rest=f_rest,
+            opacity=opacity,
+            scaling=scaling,
+            scaling_factor=sf,
+            rotation=rotation,
+        )
+        out = trainer.render_scene(s, ev, settings, bg)
+        return L.l1_loss(out["render"], gt)
+
+    args = (
+        scene.xyz,
+        scene.features_dc,
+        scene.features_rest,
+        scene.opacity,
+        scene.scaling,
+        scene.scaling_factor,
+        scene.rotation,
+    )
+    step = jax.jit(jax.grad(loss_fn, argnums=tuple(range(7))))
+
+    # warmup / compile
+    grads = step(*args)
+    jax.block_until_ready(grads)
+
+    iters = int(os.environ.get("C3DGS_BENCH_ITERS", 10))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        grads = step(*args)
+    jax.block_until_ready(grads)
+    ms = (time.perf_counter() - t0) / iters * 1000.0
+
+    baseline_ms = 28.0
+    print(
+        json.dumps(
+            {
+                "metric": f"rasterize_fwd_bwd_ms_per_frame_{width}x{height}_{n}g",
+                "value": round(ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(baseline_ms / ms, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,169 @@
+"""Sensitivity-weighted vector quantization (weighted k-means), pure JAX.
+
+Parity: compression/vq.py — VectorQuantize (:15-42: EMA codebook update
+driven by importance-weighted scatter sums), ema_inplace (:45), vq_features
+(:49: `steps` iterations over random chunks, optional trace-normalization of
+covariance codebooks :73-77), join_features (:90), CompressionSettings
+(:106).
+
+TPU re-design: the reference's brute-force CUDA nearest-codebook kernel
+(submodules/weighted_distance/weighted_distance.cu:20-44) becomes a single
+MXU matmul — argmin_c ||x - c||^2 = argmin_c (||c||^2 - 2 x.c) — and
+torch_scatter's segment sums become jax.ops.segment_sum (deterministic).
+The k-means update loop is one lax.scan, fully jitted.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class CompressionSettings:
+    """compression/vq.py:106-114 (mutable: thresholds are autoset at run
+    time, compress_gaussians :212-219)."""
+
+    codebook_size: int
+    importance_prune: Optional[float]
+    importance_include: Optional[float]
+    importance_include_relative: float
+    steps: int
+    decay: float
+    batch_size: int
+
+
+def nearest_codebook(x: jax.Array, codebook: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(min_dists, argmin) over codebook rows — the weightedDistance
+    replacement. x: (B,D), codebook: (C,D)."""
+    c_sq = jnp.sum(codebook * codebook, axis=1)  # (C,)
+    cross = jnp.dot(x, codebook.T, preferred_element_type=jnp.float32)  # (B,C)
+    scores = c_sq[None, :] - 2.0 * cross
+    idx = jnp.argmin(scores, axis=1)
+    x_sq = jnp.sum(x * x, axis=1)
+    min_d = jnp.take_along_axis(scores, idx[:, None], axis=1)[:, 0] + x_sq
+    return jnp.maximum(min_d, 0.0), idx
+
+
+def _uniform_init(key, shape, x) -> jax.Array:
+    amin, amax = x.min(), x.max()
+    return jax.random.uniform(key, shape, minval=0.0, maxval=1.0) * (amax - amin) + amin
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _kmeans_run(
+    features: jax.Array,
+    importance: jax.Array,
+    codebook_size: int,
+    batch_size: int,
+    steps: int,
+    decay: float,
+    scale_normalize: bool,
+    key: jax.Array,
+):
+    """The full vq_features loop as one scan (compression/vq.py:61-77)."""
+    n, d = features.shape
+    key, sub = jax.random.split(key)
+    codebook = _uniform_init(sub, (codebook_size, d), features)
+    entry_importance = jnp.zeros(codebook_size)
+    importance_n = importance / jnp.maximum(importance.max(), 1e-30)
+    eps = 1e-5
+
+    def step(carry, key_t):
+        codebook, entry_importance = carry
+        batch_idx = jax.random.randint(key_t, (batch_size,), 0, n)
+        x = features[batch_idx]
+        imp = importance_n[batch_idx]
+        min_d, idx = nearest_codebook(x, codebook)
+        acc_imp = jax.ops.segment_sum(imp, idx, num_segments=codebook_size)
+        entry_importance = decay * entry_importance + (1 - decay) * acc_imp
+        sums = jax.ops.segment_sum(x * imp[:, None], idx, num_segments=codebook_size)
+        codebook = decay * codebook + (1 - decay) * (
+            sums / (acc_imp[:, None] + eps)
+        )
+        if scale_normalize:
+            # normalize eigenvalue scale via the trace of the 6-vec
+            # covariance codebook (compression/vq.py:73-77)
+            tr = codebook[:, 0] + codebook[:, 3] + codebook[:, 5]
+            codebook = codebook / tr[:, None]
+        return (codebook, entry_importance), min_d.mean()
+
+    keys = jax.random.split(key, steps)
+    (codebook, entry_importance), errors = jax.lax.scan(
+        step, (codebook, entry_importance), keys
+    )
+    return codebook, entry_importance, errors
+
+
+def assign_indices(
+    features: jax.Array, codebook: jax.Array, chunk: int = 2**16
+) -> jax.Array:
+    """Final nearest-codebook assignment over all rows, chunked."""
+    n = features.shape[0]
+    pad = (-n) % chunk
+    feats = jnp.pad(features, ((0, pad), (0, 0)))
+    n_chunks = feats.shape[0] // chunk
+
+    def body(i, out):
+        x = jax.lax.dynamic_slice(feats, (i * chunk, 0), (chunk, features.shape[1]))
+        _, idx = nearest_codebook(x, codebook)
+        return jax.lax.dynamic_update_slice(out, idx.astype(jnp.int32), (i * chunk,))
+
+    out = jnp.zeros(feats.shape[0], jnp.int32)
+    out = jax.lax.fori_loop(0, n_chunks, body, out)
+    return out[:n]
+
+
+def vq_features(
+    features: jax.Array,
+    importance: jax.Array,
+    codebook_size: int,
+    vq_chunk: int = 2**16,
+    steps: int = 1000,
+    decay: float = 0.8,
+    scale_normalize: bool = False,
+    seed: int = 0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Weighted k-means -> (codebook (C,D), indices (N,)).
+
+    compression/vq.py:49-87 with the same defaults and loop structure.
+    """
+    key = jax.random.PRNGKey(seed)
+    codebook, _, _errors = _kmeans_run(
+        features,
+        importance,
+        codebook_size,
+        min(vq_chunk, max(int(features.shape[0]), 1)),
+        steps,
+        decay,
+        scale_normalize,
+        key,
+    )
+    indices = assign_indices(features, codebook)
+    return codebook, indices
+
+
+def join_features(
+    all_features: jax.Array,
+    keep_mask: jax.Array,
+    codebook: jax.Array,
+    codebook_indices: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Concatenate codebook + kept-dense rows, build per-splat indices
+    (compression/vq.py:90-103). Host-side (shapes depend on keep counts)."""
+    import numpy as np
+
+    all_features = np.asarray(all_features)
+    keep_mask = np.asarray(keep_mask)
+    codebook = np.asarray(codebook)
+    codebook_indices = np.asarray(codebook_indices)
+
+    keep_features = all_features[keep_mask]
+    compressed = np.concatenate([codebook, keep_features], 0)
+    indices = np.zeros(len(all_features), np.int32)
+    indices[~keep_mask] = codebook_indices
+    indices[keep_mask] = np.arange(len(keep_features)) + len(codebook)
+    return jnp.asarray(compressed), jnp.asarray(indices)

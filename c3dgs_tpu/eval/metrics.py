@@ -1,0 +1,86 @@
+"""Evaluation: render train/test splits, PSNR/SSIM(/LPIPS) + file size.
+
+Parity: compress.py render_and_eval (:121-163, results.json with
+PSNR/SSIM/LPIPS and size_bytes) and metrics.py evaluate (:38-117,
+per_view.json). LPIPS requires pretrained VGG/Alex weights that cannot be
+downloaded in a zero-egress environment; it is gated behind
+`lpips_weights` (a local .npz of converted weights) and reported as null
+when unavailable.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.gaussians import GaussianScene
+from ..ops import losses as L
+from ..render.types import settings_from_intrinsic
+from ..train import trainer
+
+
+def _to_png(path: str, img_chw: np.ndarray) -> None:
+    from PIL import Image
+
+    arr = (np.clip(img_chw, 0, 1).transpose(1, 2, 0) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def render_and_eval(
+    scene: GaussianScene,
+    cameras: List,
+    bg: Optional[np.ndarray] = None,
+    dump_dir: Optional[str] = None,
+    npz_path: Optional[str] = None,
+    lpips_fn=None,
+) -> dict:
+    """Per-view PSNR/SSIM (+LPIPS via lpips_fn if provided); means +
+    compressed file size -> the reference's results.json schema."""
+    bg = jnp.zeros(3) if bg is None else jnp.asarray(bg)
+    psnrs, ssims, lpipss, per_view = [], [], [], {}
+    if dump_dir:
+        os.makedirs(os.path.join(dump_dir, "renders"), exist_ok=True)
+        os.makedirs(os.path.join(dump_dir, "gt"), exist_ok=True)
+    for i, cam in enumerate(cameras):
+        settings = settings_from_intrinsic(cam.intrinsic)
+        out = trainer.render_scene(
+            scene, jnp.asarray(cam.extrinsic_vector), settings, bg
+        )
+        img = out["render"]
+        gt = jnp.asarray(cam.original_image)
+        p = float(L.psnr(img, gt)[0, 0])
+        s = float(L.ssim(img, gt))
+        psnrs.append(p)
+        ssims.append(s)
+        entry = {"psnr": p, "ssim": s}
+        if lpips_fn is not None:
+            lp = float(lpips_fn(img, gt))
+            lpipss.append(lp)
+            entry["lpips"] = lp
+        per_view[getattr(cam, "image_name", str(i))] = entry
+        if dump_dir:
+            name = getattr(cam, "image_name", f"{i:05d}") + ".png"
+            _to_png(os.path.join(dump_dir, "renders", name), np.asarray(img))
+            _to_png(os.path.join(dump_dir, "gt", name), np.asarray(gt))
+
+    results = {
+        "psnr": float(np.mean(psnrs)) if psnrs else None,
+        "ssim": float(np.mean(ssims)) if ssims else None,
+        "lpips": float(np.mean(lpipss)) if lpipss else None,
+        "num_views": len(psnrs),
+    }
+    if npz_path and os.path.exists(npz_path):
+        results["size_bytes"] = os.path.getsize(npz_path)
+    results["per_view"] = per_view
+    return results
+
+
+def write_results(model_path: str, results: dict) -> None:
+    per_view = results.pop("per_view", {})
+    with open(os.path.join(model_path, "results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    with open(os.path.join(model_path, "per_view.json"), "w") as f:
+        json.dump(per_view, f, indent=2)

@@ -1,0 +1,192 @@
+"""Compressed .npz container, byte-compatible with the reference's
+save_npz/load_npz (scene/gaussian_model.py:505-740):
+
+quantized layout — fp16 xyz; int8 `int_repr` + (scale, zero_point) for
+features_dc/features_rest (raw), opacity (post-sigmoid), scaling
+(post-normalize), scaling_factor (pre-exp log value), rotation
+(post-normalize); int32 feature_indices / gaussian_indices when indexed;
+bool `quantization` flag; np.savez_compressed.
+
+Unquantized layout — plain float arrays under the same keys.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax.nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import misc, quantize, quat
+from . import gaussians as gmod
+
+
+def _q(x: np.ndarray, obs: quantize.ObserverState):
+    scale, zp = quantize.qparams(obs)
+    q = np.clip(np.round(x / float(scale) + float(zp)), quantize.QMIN, quantize.QMAX)
+    return q.astype(np.int8), np.asarray([float(scale)]), np.asarray([int(zp)])
+
+
+def save_npz(
+    scene: gmod.GaussianScene,
+    path: str,
+    compress: bool = True,
+    half_precision: bool = False,
+    sort_morton: bool = False,
+) -> gmod.GaussianScene:
+    """Serialize. Returns the (possibly Morton-reordered) scene, mirroring
+    the reference's in-place sort side effect (gaussian_model.py:513-514)."""
+    scene = scene.compact()
+    if sort_morton:
+        scene = scene.morton_sorted()
+    if isinstance(path, (str, os.PathLike)):
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+
+    dtype = np.float16 if half_precision else np.float32
+    d: dict = {"quantization": scene.quantization}
+    q = scene.quant
+
+    if scene.quantization:
+        d["xyz"] = np.asarray(scene.get_xyz()).astype(np.float16)
+        d["features_dc"], d["features_dc_scale"], d["features_dc_zero_point"] = _q(
+            np.asarray(scene.features_dc), q.features_dc
+        )
+        (
+            d["features_rest"],
+            d["features_rest_scale"],
+            d["features_rest_zero_point"],
+        ) = _q(np.asarray(scene.features_rest), q.features_rest)
+        d["opacity"], d["opacity_scale"], d["opacity_zero_point"] = _q(
+            np.asarray(jax.nn.sigmoid(scene.opacity)), q.opacity
+        )
+        scaling_act = np.asarray(quat.normalize(jax.nn.relu(scene.scaling)))
+        d["scaling"], d["scaling_scale"], d["scaling_zero_point"] = _q(
+            scaling_act, q.scaling
+        )
+        if scene.scaling_factor is not None:
+            (
+                d["scaling_factor"],
+                d["scaling_factor_scale"],
+                d["scaling_factor_zero_point"],
+            ) = _q(np.asarray(scene.scaling_factor), q.scaling_factor)
+        rot_act = np.asarray(quat.normalize(scene.rotation))
+        d["rotation"], d["rotation_scale"], d["rotation_zero_point"] = _q(
+            rot_act, q.rotation
+        )
+    else:
+        d["xyz"] = np.asarray(scene.xyz)
+        d["features_dc"] = np.asarray(scene.features_dc)
+        d["features_rest"] = np.asarray(scene.features_rest)
+        d["opacity"] = np.asarray(scene.opacity).astype(dtype)
+        d["scaling"] = np.asarray(scene.scaling).astype(dtype)
+        if scene.scaling_factor is not None:
+            d["scaling_factor"] = np.asarray(scene.scaling_factor).astype(dtype)
+        d["rotation"] = np.asarray(scene.rotation).astype(dtype)
+
+    if scene.is_color_indexed:
+        d["feature_indices"] = np.asarray(scene.feature_indices).astype(np.int32)
+    if scene.is_gaussian_indexed:
+        d["gaussian_indices"] = np.asarray(scene.gaussian_indices).astype(np.int32)
+
+    (np.savez_compressed if compress else np.savez)(path, **d)
+    return scene
+
+
+def _deq(d, name):
+    q = d[name].astype(np.float32)
+    scale = float(d[f"{name}_scale"])
+    zp = float(d[f"{name}_zero_point"])
+    x = (q - zp) * scale
+    return x, scale, zp
+
+
+def _obs_from(x: np.ndarray) -> quantize.ObserverState:
+    """Pin an observer to the dequantized tensor's range
+    (gaussian_model.py:648-719)."""
+    return quantize.set_range(float(x.min()), float(x.max()))
+
+
+def load_npz(
+    path: str,
+    max_sh_degree: int = 3,
+    use_factor_scaling: bool = True,
+    override_quantization: bool = False,
+    quantization: bool = True,
+) -> gmod.GaussianScene:
+    d = np.load(path)
+    file_quant = bool(d["quantization"])
+    if override_quantization:
+        quantization = file_quant
+    elif quantization != file_quant:
+        print("WARNING: model is not quantisation aware but loaded model is")
+
+    xyz = d["xyz"].astype(np.float32)
+    n = xyz.shape[0]
+    qs = gmod.QuantState.create()
+
+    if file_quant:
+        f_rest, *_ = _deq(d, "features_rest")
+        f_dc, *_ = _deq(d, "features_dc")
+        opacity_act, *_ = _deq(d, "opacity")
+        opacity = np.asarray(
+            misc.inverse_sigmoid(np.clip(opacity_act, 1e-6, 1 - 1e-6))
+        ).astype(np.float32)
+        scaling, *_ = _deq(d, "scaling")
+        rotation, *_ = _deq(d, "rotation")
+        qs = gmod.QuantState(
+            features_dc=_obs_from(f_dc),
+            features_rest=_obs_from(f_rest),
+            opacity=_obs_from(opacity_act),
+            scaling=_obs_from(scaling),
+            scaling_factor=quantize.init_observer(),
+            rotation=_obs_from(rotation),
+        )
+        if "scaling_factor" in d:
+            scaling_factor, *_ = _deq(d, "scaling_factor")
+            qs = qs.replace(scaling_factor=_obs_from(scaling_factor))
+        else:
+            scaling_factor = None
+    else:
+        f_dc = d["features_dc"].astype(np.float32)
+        f_rest = d["features_rest"].astype(np.float32)
+        opacity = d["opacity"].astype(np.float32)
+        scaling = d["scaling"].astype(np.float32)
+        rotation = d["rotation"].astype(np.float32)
+        scaling_factor = (
+            d["scaling_factor"].astype(np.float32) if "scaling_factor" in d else None
+        )
+
+    feature_indices = (
+        jnp.asarray(d["feature_indices"].astype(np.int32))
+        if "feature_indices" in d
+        else None
+    )
+    gaussian_indices = (
+        jnp.asarray(d["gaussian_indices"].astype(np.int32))
+        if "gaussian_indices" in d
+        else None
+    )
+
+    if not use_factor_scaling and scaling_factor is not None:
+        raise ValueError("file has scaling_factor but use_factor_scaling=False")
+
+    return gmod.GaussianScene(
+        xyz=jnp.asarray(xyz),
+        opacity=jnp.asarray(opacity.reshape(n, 1)),
+        scaling_factor=None
+        if scaling_factor is None
+        else jnp.asarray(scaling_factor.reshape(-1, 1)),
+        active=jnp.ones(n, bool),
+        features_dc=jnp.asarray(f_dc),
+        features_rest=jnp.asarray(f_rest),
+        scaling=jnp.asarray(scaling),
+        rotation=jnp.asarray(rotation),
+        feature_indices=feature_indices,
+        gaussian_indices=gaussian_indices,
+        quant=qs,
+        max_sh_degree=max_sh_degree,
+        active_sh_degree=max_sh_degree,
+        quantization=quantization,
+        use_factor_scaling=scaling_factor is not None,
+    )

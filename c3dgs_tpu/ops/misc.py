@@ -1,0 +1,84 @@
+"""Small math helpers mirrored from utils/general_utils.py."""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def inverse_sigmoid(x):
+    """logit (utils/general_utils.py:19)."""
+    xp = jnp if isinstance(x, jax.Array) else np
+    return xp.log(x / (1 - x))
+
+
+def get_expon_lr_func(
+    lr_init: float,
+    lr_final: float,
+    lr_delay_steps: int = 0,
+    lr_delay_mult: float = 1.0,
+    max_steps: int = 1000000,
+):
+    """Log-linear LR interpolation with an optional sine-delay warmup.
+
+    Continuous analog of utils/general_utils.py:32-61; returned callable is
+    jit-traceable (step may be a traced int array).
+    """
+
+    def helper(step):
+        step = jnp.asarray(step, jnp.float32)
+        if lr_delay_steps > 0:
+            delay_rate = lr_delay_mult + (1 - lr_delay_mult) * jnp.sin(
+                0.5 * jnp.pi * jnp.clip(step / lr_delay_steps, 0, 1)
+            )
+        else:
+            delay_rate = 1.0
+        t = jnp.clip(step / max_steps, 0, 1)
+        log_lerp = jnp.exp(
+            math.log(max(lr_init, 1e-32)) * (1 - t) + math.log(max(lr_final, 1e-32)) * t
+        )
+        lr = delay_rate * log_lerp
+        # reference returns 0 when step<0 or lr_init==lr_final==0
+        zero = (step < 0) | ((lr_init == 0.0) & (lr_final == 0.0))
+        return jnp.where(zero, 0.0, lr)
+
+    return helper
+
+
+def mean_knn_sq_dist(xyz: jax.Array, k: int = 3, chunk: int = 4096) -> jax.Array:
+    """Mean squared distance to the k nearest neighbors of each point.
+
+    TPU-native replacement for simple_knn's distCUDA2 (used only for scale
+    init on raw point clouds, scene/gaussian_model.py:459): chunked exact
+    pairwise distances via MXU matmuls — O(N^2/chunk) memory, fine for the
+    <=1e6-point clouds this initializes.
+    """
+    n = xyz.shape[0]
+    sq = jnp.sum(xyz * xyz, axis=1)
+
+    pad = (-n) % chunk
+    xyz_p = jnp.pad(xyz, ((0, pad), (0, 0)))
+    sq_p = jnp.pad(sq, (0, pad), constant_values=jnp.inf)
+    n_chunks = xyz_p.shape[0] // chunk
+
+    def body(i, out):
+        rows = jax.lax.dynamic_slice(xyz_p, (i * chunk, 0), (chunk, 3))
+        rows_sq = jax.lax.dynamic_slice(sq_p, (i * chunk,), (chunk,))
+        d = (
+            rows_sq[:, None]
+            + sq[None, :]
+            - 2.0 * jnp.dot(rows, xyz.T, preferred_element_type=jnp.float32)
+        )
+        # exclude self-distance
+        col = jax.lax.broadcasted_iota(jnp.int32, (chunk, n), 1)
+        row = i * chunk + jax.lax.broadcasted_iota(jnp.int32, (chunk, n), 0)
+        d = jnp.where(col == row, jnp.inf, d)
+        neg_topk = jax.lax.top_k(-d, k)[0]
+        mean_k = jnp.maximum(-neg_topk, 0.0).mean(axis=1)
+        return jax.lax.dynamic_update_slice(out, mean_k, (i * chunk,))
+
+    out = jnp.zeros(xyz_p.shape[0], xyz.dtype)
+    out = jax.lax.fori_loop(0, n_chunks, body, out)
+    return out[:n]

@@ -1,0 +1,175 @@
+"""Multi-device rendering + training via shard_map.
+
+New capability vs the single-GPU reference (SURVEY.md §2.4): the structural
+"sequence parallelism" of this workload is pixel/tile-space sharding —
+each device composites a slice of the 16x16-tile grid (Gaussians
+replicated), and camera data-parallelism rides the second mesh axis:
+
+  mesh ("dp", "tiles")
+  - preprocess/binning: per-dp-row camera, replicated within the row
+    (O(N) jnp work, cheap next to blending);
+  - tile_blend: each device runs the Pallas kernel on its contiguous slice
+    of CHUNK-aligned tile segments;
+  - image: all_gather over "tiles" (a few MB over ICI);
+  - gradients: each device backprops its tile slice; psum over
+    ("tiles","dp") reconstructs exact full gradients (XLA overlaps these
+    collectives with the backward as usual).
+
+Gradients are exact and deterministic: the per-tile instance grads reduce by
+segment-sum (see render/tiles.py), and cross-device reduction is a psum.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import OptimizationParams
+from ..models.gaussians import GaussianScene
+from ..ops import losses as L
+from ..render import tiles as tiles_mod
+from ..render.binning import bin_gaussians, stage_fields
+from ..render.preprocess import preprocess
+from ..render.rasterizer import assemble_image, tile_blend
+from ..render.types import RasterSettings
+from ..train import trainer
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _local_blend_tiles(prep, settings: RasterSettings, n_tiles_axis: int):
+    """Per-device piece: bin (all tiles), then blend only this device's tile
+    slice. Returns the local (T_local, OUT_ROWS, PIX) block."""
+    binning = bin_gaussians(prep, settings)
+    fields = stage_fields(prep, binning)
+    t_total = settings.num_tiles
+    t_pad = _round_up(t_total, n_tiles_axis)
+    t_local = t_pad // n_tiles_axis
+
+    starts = jnp.pad(binning.tile_starts, (0, t_pad - t_total))
+    counts = jnp.pad(binning.tile_counts, (0, t_pad - t_total))
+    ids = jnp.arange(t_pad, dtype=jnp.int32)
+
+    my = jax.lax.axis_index("tiles") * t_local
+    starts_l = jax.lax.dynamic_slice(starts, (my,), (t_local,))
+    counts_l = jax.lax.dynamic_slice(counts, (my,), (t_local,))
+    ids_l = jax.lax.dynamic_slice(ids, (my,), (t_local,))
+
+    out_l = tile_blend(
+        settings.tiles_x, t_local, fields, starts_l, counts_l, ids_l
+    )
+    return out_l, binning
+
+
+def _gathered_image(out_l, settings: RasterSettings, bg):
+    """all_gather local tile blocks over "tiles" -> full image."""
+    out_full = jax.lax.all_gather(out_l, "tiles", axis=0, tiled=True)
+    out_full = out_full[: settings.num_tiles]
+    color, final_t = assemble_image(out_full, settings)
+    return color + final_t[None] * bg[:, None, None]
+
+
+def render_tile_sharded(
+    scene: GaussianScene,
+    extrinsic_vector: jax.Array,
+    settings: RasterSettings,
+    bg: jax.Array,
+    mesh: Mesh,
+) -> jax.Array:
+    """Inference render with the tile grid sharded over mesh axis "tiles"
+    (replicated over "dp"). Returns the full image (replicated)."""
+    n_tiles_axis = mesh.shape["tiles"]
+    settings = trainer.settings_with_degree(settings, scene.active_sh_degree)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(means3d, cov3d, opacity_shs_ev):
+        opacity, shs, ev = opacity_shs_ev
+        prep = preprocess(means3d, cov3d, opacity, ev, settings, shs=shs)
+        out_l, _ = _local_blend_tiles(prep, settings, n_tiles_axis)
+        return _gathered_image(out_l, settings, bg)
+
+    return run(
+        scene.get_xyz(),
+        scene.get_covariance(),
+        (scene.get_opacity()[:, 0], scene.get_features(), extrinsic_vector),
+    )
+
+
+def make_hybrid_train_step(
+    mesh: Mesh,
+    settings: RasterSettings,
+    opt: OptimizationParams = OptimizationParams(),
+    spatial_lr_scale: float = 1.0,
+):
+    """Build a jitted dp x tile-sharded train step.
+
+    Takes (state, extrinsics (B,7), gts (B,3,H,W), bg (3,)) with
+    B == mesh.shape['dp']; each dp row trains its own camera, gradients are
+    psum'd over the whole mesh and the (replicated) Adam update applied.
+    """
+    n_dp = mesh.shape["dp"]
+    n_tiles_axis = mesh.shape["tiles"]
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P("dp"), P("dp"), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def loss_and_grads(scene0_params, evs_b, gts_b, bg):
+        params, scene_rest = scene0_params
+        ev = evs_b[0]
+        gt = gts_b[0]
+
+        def local_loss(params):
+            scene = trainer.with_params(scene_rest, params)
+            st = trainer.settings_with_degree(settings, scene.active_sh_degree)
+            prep = preprocess(
+                scene.get_xyz(),
+                scene.get_covariance(),
+                scene.get_opacity()[:, 0],
+                ev,
+                st,
+                shs=scene.get_features(),
+            )
+            out_l, _ = _local_blend_tiles(prep, st, n_tiles_axis)
+            image = _gathered_image(out_l, st, bg)
+            return L.photometric_loss(image, gt, opt.lambda_dssim)
+
+        loss, grads = jax.value_and_grad(local_loss)(params)
+        # exact: tiles-psum reassembles per-camera grads, dp-psum sums
+        # cameras; divide for the camera mean
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, ("dp", "tiles")) / n_dp, grads
+        )
+        loss = jax.lax.psum(loss, "dp") / n_dp
+        return loss, grads
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: trainer.TrainState, evs, gts, bg):
+        scene0 = state.scene.update_observers()
+        params = trainer.scene_params(scene0)
+        loss, grads = loss_and_grads((params, scene0), evs, gts, bg)
+        tx = trainer.make_optimizer(opt, spatial_lr_scale)
+        updates, opt_state = tx.update(grads, state.opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        new_state = state._replace(
+            scene=trainer.with_params(scene0, params),
+            opt_state=opt_state,
+            step=state.step + 1,
+        )
+        return new_state, {"loss": loss}
+
+    return step

@@ -1,0 +1,96 @@
+"""Reference renderer: pure-jnp per-pixel alpha compositing.
+
+Slow but fully `jax.grad`-differentiable — the oracle for the Pallas tile
+renderer (SURVEY.md §4 test strategy). Semantics replicate
+forward.cu renderCUDA (:270-383) exactly, including:
+- per-gaussian tile-rect confinement (a gaussian only composites into
+  pixels whose 16x16 tile lies inside its getRect rectangle);
+- alpha = min(0.99, opacity * exp(power)), skipped when power > 0 or
+  alpha < 1/255;
+- a contribution lands only while entering transmittance stays above the
+  1e-4 stop threshold (test_T >= 1e-4);
+- front-to-back order: depth-sorted, stable w.r.t. gaussian index.
+
+One deliberate divergence (documented in render/tiles.py too): after a
+pixel saturates, the reference freezes T; we keep multiplying by (1-alpha).
+Contributions are identical; only final_T on saturated pixels differs by
+<1e-4, i.e. below half an 8-bit LSB of background blending.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .preprocess import Preprocessed, preprocess
+from .types import TILE_X, TILE_Y, RasterSettings
+
+STOP_T = 1e-4
+MIN_ALPHA = 1.0 / 255.0
+MAX_ALPHA = 0.99
+
+
+def blend_oracle(
+    prep: Preprocessed, settings: RasterSettings
+) -> tuple[jax.Array, jax.Array]:
+    """Composite all gaussians over the full image with a depth-ordered scan.
+
+    Returns (color (3,H,W) without background, final_T (H,W)).
+    """
+    h, w = settings.height, settings.width
+    n = prep.depth.shape[0]
+
+    order = jnp.argsort(
+        jnp.where(prep.radius > 0, prep.depth, jnp.inf), stable=True
+    )
+
+    px = jnp.arange(w, dtype=jnp.float32)[None, :]  # (1,W)
+    py = jnp.arange(h, dtype=jnp.float32)[:, None]  # (H,1)
+    tile_px = (jnp.arange(w, dtype=jnp.int32) // TILE_X)[None, :]
+    tile_py = (jnp.arange(h, dtype=jnp.int32) // TILE_Y)[:, None]
+
+    def step(carry, idx):
+        color_acc, t_acc = carry
+        alive = prep.radius[idx] > 0
+        xy = prep.mean2d[idx]
+        con = prep.conic[idx]
+        dx = xy[0] - px
+        dy = xy[1] - py
+        power = -0.5 * (con[0] * dx * dx + con[2] * dy * dy) - con[1] * dx * dy
+        alpha = jnp.minimum(MAX_ALPHA, prep.opacity[idx] * jnp.exp(power))
+        in_rect = (
+            (tile_px >= prep.rect_min[idx, 0])
+            & (tile_px < prep.rect_max[idx, 0])
+            & (tile_py >= prep.rect_min[idx, 1])
+            & (tile_py < prep.rect_max[idx, 1])
+        )
+        mask = (power <= 0.0) & (alpha >= MIN_ALPHA) & in_rect & alive
+        alpha = jnp.where(mask, alpha, 0.0)
+        test_t = t_acc * (1.0 - alpha)
+        contrib = jnp.where(test_t >= STOP_T, alpha * t_acc, 0.0)
+        color_acc = color_acc + prep.color[idx][:, None, None] * contrib[None]
+        return (color_acc, test_t), None
+
+    init = (jnp.zeros((3, h, w)), jnp.ones((h, w)))
+    (color, final_t), _ = jax.lax.scan(step, init, order)
+    return color, final_t
+
+
+def render_oracle(
+    means3d: jax.Array,
+    cov3d: jax.Array,
+    opacity: jax.Array,
+    extrinsic_vector: jax.Array,
+    settings: RasterSettings,
+    bg: jax.Array,
+    shs: Optional[jax.Array] = None,
+    colors_precomp: Optional[jax.Array] = None,
+) -> dict:
+    """End-to-end oracle render (preprocess + blend + background)."""
+    prep = preprocess(
+        means3d, cov3d, opacity, extrinsic_vector, settings, shs, colors_precomp
+    )
+    color, final_t = blend_oracle(prep, settings)
+    image = color + final_t[None] * bg[:, None, None]
+    return {"render": image, "final_T": final_t, "radii": prep.radius}

@@ -1,0 +1,314 @@
+"""Pallas TPU tile kernels: forward + backward alpha compositing.
+
+The TPU re-design of renderCUDA (forward.cu:270-383) and the backward
+re-rasterization (backward.cu:398-557). The CUDA kernels map one thread to
+one pixel and loop gaussians in shared-memory batches; here one grid program
+owns one 16x16 tile (256 pixels in the lane dimension) and the gaussian loop
+is chunked by CHUNK=128, with the key trick that *compositing itself runs on
+the MXU*:
+
+  transmittance  T_i = exp( cumsum_{j<i} log(1-alpha_j) )
+                     -> (256,128) @ strictly-triangular ones (128,128) matmul
+  color          C  += (alpha * T * live) (256,128) @ colors (128,3)
+
+The backward needs suffix sums S_i = C_total - prefix_{<=i}; the prefix is
+the *inclusive* triangular matmul — same machinery, so the whole backward
+runs front-to-back (no back-to-front pass like backward.cu:472, and no
+atomics: each instance belongs to exactly one tile, so per-instance grads
+are written race-free and reduced to gaussians by the staging gather's own
+VJP — see binning.stage_fields). This makes gradients deterministic, unlike
+the reference's atomicAdd accumulation.
+
+Instance data is staged (NUM_FIELDS=16, K) lane-major in HBM; each chunk is
+a contiguous (16,128) DMA double-buffered into VMEM. Tile segments are
+CHUNK-aligned by construction (binning.py), so chunk reads and grad writes
+never cross tile boundaries.
+
+Divergence from CUDA, both documented in oracle.py: (1) after a pixel
+saturates (T < 1e-4) we keep updating T instead of freezing it — identical
+contributions, final_T differs below 8-bit significance; (2) the opacity
+gradient respects the 0.99 alpha cap (the reference backward ignores it).
+
+On CPU (tests) the kernels run in Pallas interpret mode.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .binning import CHUNK, NUM_FIELDS
+from .types import TILE_X, TILE_Y
+
+PIX = TILE_X * TILE_Y  # 256 pixels per tile
+STOP_T = 1e-4
+MIN_ALPHA = 1.0 / 255.0
+MAX_ALPHA = 0.99
+OUT_ROWS = 8  # rows 0..2 color, 3 final_T, rest zero
+
+
+def interpret_mode() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _pixel_coords(tile_idx, tiles_x: int):
+    """Pixel x/y (1, PIX) f32 for this tile program."""
+    ty = tile_idx // tiles_x
+    tx = tile_idx % tiles_x
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    px = (tx * TILE_X + lane % TILE_X).astype(jnp.float32)
+    py = (ty * TILE_Y + lane // TILE_X).astype(jnp.float32)
+    return px, py
+
+
+def _tri_matrices():
+    """(CHUNK, CHUNK) ones matrices: A @ strict = exclusive prefix over the
+    gaussian axis, A @ incl = inclusive prefix."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    strict = (row < col).astype(jnp.float32)
+    incl = (row <= col).astype(jnp.float32)
+    return strict, incl
+
+
+def _chunk_alpha(f, px, py):
+    """Alpha evaluation for one staged chunk f: (NUM_FIELDS, CHUNK).
+
+    Returns (PIX, CHUNK) arrays: dx, dy, alpha (masked), mask, capped.
+    Masking = the renderCUDA skip rules (power>0, alpha<1/255).
+    """
+    x = f[0:1, :]
+    y = f[1:2, :]
+    ca = f[2:3, :]
+    cb = f[3:4, :]
+    cc = f[4:5, :]
+    op = f[5:6, :]
+    dx = x - px.reshape(PIX, 1)
+    dy = y - py.reshape(PIX, 1)
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    raw = op * jnp.exp(power)
+    capped = raw > MAX_ALPHA
+    alpha = jnp.minimum(MAX_ALPHA, raw)
+    mask = (power <= 0.0) & (raw >= MIN_ALPHA)
+    alpha = jnp.where(mask, alpha, 0.0)
+    return dx, dy, alpha, mask, capped
+
+
+def forward_kernel(
+    tile_ids_ref,
+    starts_ref,
+    counts_ref,
+    fields_hbm,
+    out_ref,
+    fbuf,
+    sems,
+    *,
+    tiles_x: int,
+):
+    t = pl.program_id(0)
+    start = pl.multiple_of(starts_ref[t], CHUNK)
+    nchunks = counts_ref[t] // CHUNK
+    px, py = _pixel_coords(tile_ids_ref[t], tiles_x)
+    strict, _ = _tri_matrices()
+
+    def dma(slot, ci):
+        return pltpu.make_async_copy(
+            fields_hbm.at[:, pl.ds(start + ci * CHUNK, CHUNK)],
+            fbuf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(ci, carry):
+        color, t_carry = carry  # (PIX, 3), (PIX, 1)
+
+        @pl.when(ci + 1 < nchunks)
+        def _():
+            dma((ci + 1) % 2, ci + 1).start()
+
+        dma(ci % 2, ci).wait()
+        f = fbuf[ci % 2]
+        _, _, alpha, _, _ = _chunk_alpha(f, px, py)
+        tlog = jnp.log1p(-alpha)
+        s_excl = jnp.dot(tlog, strict, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        t_in = t_carry * jnp.exp(s_excl)  # (PIX, CHUNK)
+        live = t_in * (1.0 - alpha) >= STOP_T
+        w = jnp.where(live, alpha * t_in, 0.0)
+        colors = f[6:9, :]  # (3, CHUNK)
+        color = color + jax.lax.dot_general(
+            w,
+            colors,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        t_carry = t_carry * jnp.exp(s_excl[:, CHUNK - 1 :] + tlog[:, CHUNK - 1 :])
+        return color, t_carry
+
+    init = (jnp.zeros((PIX, 3), jnp.float32), jnp.ones((PIX, 1), jnp.float32))
+    color, t_final = jax.lax.fori_loop(0, nchunks, body, init)
+
+    out_ref[0] = jnp.concatenate(
+        [color.T, t_final.T, jnp.zeros((OUT_ROWS - 4, PIX), jnp.float32)], axis=0
+    )
+
+
+def backward_kernel(
+    tile_ids_ref,
+    starts_ref,
+    counts_ref,
+    fields_hbm,
+    totals_hbm,  # (T, OUT_ROWS, PIX): fwd output (rows 0..2 C, 3 final_T)
+    gout_hbm,  # (T, OUT_ROWS, PIX): rows 0..2 dL/dC, 3 dL/dT_final
+    grads_hbm,  # output (NUM_FIELDS, K) per-instance grads
+    fbuf,
+    gbuf,
+    tot_vmem,
+    g_vmem,
+    sems,
+    gsems,
+    *,
+    tiles_x: int,
+):
+    t = pl.program_id(0)
+    start = pl.multiple_of(starts_ref[t], CHUNK)
+    nchunks = counts_ref[t] // CHUNK
+    px, py = _pixel_coords(tile_ids_ref[t], tiles_x)
+    strict, incl = _tri_matrices()
+
+    tot_dma = pltpu.make_async_copy(totals_hbm.at[t], tot_vmem, sems.at[2])
+    g_dma = pltpu.make_async_copy(gout_hbm.at[t], g_vmem, sems.at[3])
+    tot_dma.start()
+    g_dma.start()
+
+    def dma(slot, ci):
+        return pltpu.make_async_copy(
+            fields_hbm.at[:, pl.ds(start + ci * CHUNK, CHUNK)],
+            fbuf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    tot_dma.wait()
+    g_dma.wait()
+
+    c_total = tot_vmem[0:3, :]  # (3, PIX)
+    t_final = tot_vmem[3:4, :]  # (1, PIX)
+    g_color = g_vmem[0:3, :]  # (3, PIX)
+    g_tfin = g_vmem[3:4, :]  # (1, PIX)
+    # per-pixel constants folded once:
+    g_dot_ctotal = jnp.sum(g_color * c_total, axis=0).reshape(PIX, 1)
+    g_tfin_term = (g_tfin * t_final).T  # (PIX, 1)
+
+    def grad_write(slot, ci):
+        return pltpu.make_async_copy(
+            gbuf.at[slot],
+            grads_hbm.at[:, pl.ds(start + ci * CHUNK, CHUNK)],
+            gsems.at[slot],
+        )
+
+    def body(ci, carry):
+        # gpref[p] = sum_ch gC[ch,p] * (contributions of earlier chunks)[ch,p]
+        gpref, t_carry = carry  # (PIX, 1), (PIX, 1)
+
+        @pl.when(ci + 1 < nchunks)
+        def _():
+            dma((ci + 1) % 2, ci + 1).start()
+
+        dma(ci % 2, ci).wait()
+        f = fbuf[ci % 2]
+        dx, dy, alpha, mask, capped = _chunk_alpha(f, px, py)
+        ca = f[2:3, :]
+        cb = f[3:4, :]
+        cc = f[4:5, :]
+        op = f[5:6, :]
+        colors = f[6:9, :]  # (3, CHUNK)
+
+        tlog = jnp.log1p(-alpha)
+        s_excl = jnp.dot(tlog, strict, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        t_in = t_carry * jnp.exp(s_excl)
+        live = t_in * (1.0 - alpha) >= STOP_T
+        w = jnp.where(live, alpha * t_in, 0.0)  # (PIX, CHUNK)
+
+        # grad color: dL/dc_i[ch] = sum_p gC[ch,p] w[p,i]
+        g_rgb = jnp.dot(g_color, w, preferred_element_type=jnp.float32)
+
+        # gc_dot_c[p,i] = sum_ch gC[ch,p] c_i[ch]
+        gc_dot_c = jax.lax.dot_general(
+            g_color,  # (3, PIX)
+            colors,  # (3, CHUNK)
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (PIX, CHUNK)
+
+        direct = gc_dot_c * jnp.where(live, t_in, 0.0)
+
+        # inclusive prefix of per-instance contribution dotted with gC
+        gwc = w * gc_dot_c  # (PIX, CHUNK)
+        gwc_prefix = jnp.dot(gwc, incl, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+        g_suffix = g_dot_ctotal - gpref - gwc_prefix  # (PIX, CHUNK)
+
+        one_m_a = 1.0 - alpha
+        g_alpha = direct - (g_suffix + g_tfin_term) / one_m_a
+        g_alpha = jnp.where(mask, g_alpha, 0.0)
+        g_raw = jnp.where(capped, 0.0, g_alpha)
+        g_op_pix = g_raw * jnp.where(mask, alpha / jnp.maximum(op, 1e-12), 0.0)
+        g_power = g_raw * alpha
+
+        g_dx = g_power * (-(ca * dx + cb * dy))
+        g_dy = g_power * (-(cc * dy + cb * dx))
+        g_ca = g_power * (-0.5 * dx * dx)
+        g_cb = g_power * (-dx * dy)
+        g_cc = g_power * (-0.5 * dy * dy)
+
+        ones_row = jnp.ones((1, PIX), jnp.float32)
+
+        def colsum(m):  # (PIX, CHUNK) -> (1, CHUNK), on the MXU
+            return jnp.dot(ones_row, m, preferred_element_type=jnp.float32)
+
+        gout = jnp.concatenate(
+            [
+                colsum(g_dx),
+                colsum(g_dy),
+                colsum(g_ca),
+                colsum(g_cb),
+                colsum(g_cc),
+                colsum(g_op_pix),
+                g_rgb,
+                jnp.zeros((NUM_FIELDS - 9, CHUNK), jnp.float32),
+            ],
+            axis=0,
+        )
+
+        slot = ci % 2
+
+        @pl.when(ci >= 2)
+        def _():
+            grad_write(slot, ci - 2).wait()
+
+        gbuf[slot] = gout
+        grad_write(slot, ci).start()
+
+        gpref = gpref + gwc_prefix[:, CHUNK - 1 :]
+        t_carry = t_carry * jnp.exp(s_excl[:, CHUNK - 1 :] + tlog[:, CHUNK - 1 :])
+        return gpref, t_carry
+
+    init = (jnp.zeros((PIX, 1), jnp.float32), jnp.ones((PIX, 1), jnp.float32))
+    jax.lax.fori_loop(0, nchunks, body, init)
+
+    @pl.when(nchunks >= 2)
+    def _():
+        grad_write((nchunks - 2) % 2, nchunks - 2).wait()
+
+    @pl.when(nchunks >= 1)
+    def _():
+        grad_write((nchunks - 1) % 2, nchunks - 1).wait()

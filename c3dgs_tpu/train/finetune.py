@@ -1,0 +1,64 @@
+"""QAT finetuning of a compressed (indexed) scene through the renderer.
+
+Parity: finetune.py:10-66 — random-camera SGD for comp.finetune_iterations
+(default 5000) through the indexed render path; fake-quant observers keep
+EMA-ing so the int8 ranges adapt; no densification; Adam with the training
+LRs (xyz schedule continues from iteration 0).
+"""
+from __future__ import annotations
+
+import random
+import time
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import OptimizationParams
+from ..models.gaussians import GaussianScene
+from ..render.types import RasterSettings, settings_from_intrinsic
+from . import trainer
+
+
+def finetune(
+    scene: GaussianScene,
+    cameras: List,
+    opt: OptimizationParams,
+    iterations: int,
+    bg: Optional[np.ndarray] = None,
+    spatial_lr_scale: float = 1.0,
+    log_every: int = 500,
+    seed: int = 0,
+) -> GaussianScene:
+    assert scene.is_color_indexed and scene.is_gaussian_indexed, (
+        "finetune expects a compressed (indexed) scene"
+    )
+    bg = jnp.zeros(3) if bg is None else jnp.asarray(bg)
+    state = trainer.create_train_state(scene, opt, spatial_lr_scale)
+    rng = random.Random(seed)
+
+    # group cameras by resolution so each bucket reuses one compiled step
+    ema_loss = None
+    t0 = time.time()
+    for it in range(iterations):
+        cam = rng.choice(cameras)
+        settings = settings_from_intrinsic(cam.intrinsic)
+        gt = jnp.asarray(cam.original_image)
+        state, metrics = trainer.train_step(
+            state,
+            jnp.asarray(cam.extrinsic_vector),
+            gt,
+            settings,
+            bg,
+            opt,
+            spatial_lr_scale,
+        )
+        loss = float(metrics["loss"])
+        ema_loss = loss if ema_loss is None else 0.6 * ema_loss + 0.4 * loss
+        if log_every and (it % log_every == 0 or it == iterations - 1):
+            print(
+                f"[finetune {it}/{iterations}] loss={loss:.4f} "
+                f"ema={ema_loss:.4f} psnr={float(metrics['psnr']):.2f} "
+                f"({time.time() - t0:.1f}s)"
+            )
+    return state.scene

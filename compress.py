@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Compression CLI — the reference's primary entry point.
+
+Parity: compress.py run_vq (:202-303): load trained scene -> sensitivity
+(calc_importance, per-view |grad| accumulation) -> weighted-k-means VQ of
+SH colors + covariance shapes -> QAT finetune through the indexed renderer
+-> Morton-sorted int8 .npz -> PSNR/SSIM eval; per-stage wall-clock times ->
+times.json, metrics + file size -> results.json.
+"""
+import argparse
+import json
+import os
+import time
+
+
+def run_vq(model_p, opt_p, pipe_p, comp_p):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from c3dgs_tpu.compress.pipeline import to_compressed
+    from c3dgs_tpu.config import save_config
+    from c3dgs_tpu.data import Scene
+    from c3dgs_tpu.eval.metrics import render_and_eval, write_results
+    from c3dgs_tpu.models import io_npz
+    from c3dgs_tpu.train.finetune import finetune
+
+    out_dir = comp_p.output_vq or os.path.join(model_p.model_path, "vq")
+    os.makedirs(out_dir, exist_ok=True)
+
+    scene = Scene(
+        source_path=model_p.source_path,
+        model_path=model_p.model_path,
+        load_iteration=comp_p.load_iteration,
+        resolution=model_p.resolution,
+        eval_split=model_p.eval,
+        white_background=model_p.white_background,
+        max_sh_degree=model_p.sh_degree,
+        quantization=True,
+        shuffle=True,
+    )
+    gaussians = scene.gaussians
+    timings = {}
+
+    t0 = time.time()
+    cams, split = scene.get_some_cameras()
+    compressed = to_compressed(gaussians, cams, comp_p)
+    timings["sensitivity_and_clustering"] = time.time() - t0
+
+    save_config(
+        out_dir,
+        {"model": model_p, "optimization": opt_p, "compression": comp_p},
+    )
+
+    t0 = time.time()
+    if comp_p.finetune_iterations > 0:
+        compressed = finetune(
+            compressed,
+            scene.get_train_cameras(),
+            opt_p,
+            comp_p.finetune_iterations,
+            spatial_lr_scale=scene.cameras_extent,
+        )
+    timings["finetune"] = time.time() - t0
+
+    t0 = time.time()
+    npz_path = os.path.join(out_dir, "point_cloud.npz")
+    compressed = io_npz.save_npz(
+        compressed, npz_path, sort_morton=not comp_p.not_sort_morton
+    )
+    timings["encode"] = time.time() - t0
+
+    t0 = time.time()
+    eval_cams = scene.get_test_cameras() or scene.get_train_cameras()[:8]
+    results = render_and_eval(compressed, eval_cams, npz_path=npz_path)
+    timings["eval"] = time.time() - t0
+    timings["total"] = sum(timings.values())
+
+    write_results(out_dir, results)
+    with open(os.path.join(out_dir, "times.json"), "w") as f:
+        json.dump(timings, f, indent=2)
+    print(json.dumps({k: v for k, v in results.items() if k != "per_view"}))
+    print("times:", json.dumps(timings))
+    return compressed
+
+
+def main(argv=None):
+    from c3dgs_tpu.config import (
+        CompressionParams,
+        ModelParams,
+        OptimizationParams,
+        PipelineParams,
+        load_combined_args,
+    )
+
+    parser = argparse.ArgumentParser(description="c3dgs_tpu compression")
+    ModelParams.add_to_parser(parser, "model", fill_none=True)
+    OptimizationParams.add_to_parser(parser, "optimization", fill_none=True)
+    PipelineParams.add_to_parser(parser, "pipeline", fill_none=True)
+    CompressionParams.add_to_parser(parser, "compression", fill_none=True)
+    args = load_combined_args(parser, argv)
+
+    run_vq(
+        ModelParams.extract(args).post_extract(),
+        OptimizationParams.extract(args),
+        PipelineParams.extract(args),
+        CompressionParams.extract(args),
+    )
+
+
+if __name__ == "__main__":
+    main()

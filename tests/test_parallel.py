@@ -1,0 +1,90 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: tile-sharded render
+equals single-device render; hybrid dp x tiles train step runs and matches
+single-device gradients."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from c3dgs_tpu.config import OptimizationParams
+from c3dgs_tpu.models import gaussians as gmod
+from c3dgs_tpu.parallel import make_hybrid_train_step, make_mesh, render_tile_sharded
+from c3dgs_tpu.render.types import RasterSettings
+from c3dgs_tpu.train import trainer
+
+SET = RasterSettings(
+    width=64, height=32, tanfovx=math.tan(0.5), tanfovy=math.tan(0.5), sh_degree=0
+)
+EV = jnp.asarray([0, 0, 0, 1, 0, 0, 0], jnp.float32)
+BG = jnp.asarray([0.1, 0.2, 0.3])
+
+
+def toy_scene(n=80, cap=96, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(size=(n, 3)).astype(np.float32) * 0.5
+    pts[:, 2] += 3.0
+    cols = rng.random(size=(n, 3)).astype(np.float32)
+    return gmod.from_point_cloud(pts, cols, capacity=cap, quantization=False)
+
+
+def test_tile_sharded_render_matches_single():
+    scene = toy_scene()
+    mesh = make_mesh(dp=1, tiles=8)
+    img_sharded = np.asarray(render_tile_sharded(scene, EV, SET, BG, mesh))
+    img_single = np.asarray(trainer.render_scene(scene, EV, SET, BG)["render"])
+    np.testing.assert_allclose(img_sharded, img_single, atol=1e-5)
+
+
+def test_hybrid_train_step_runs_and_matches():
+    scene = toy_scene()
+    opt = OptimizationParams()
+    mesh = make_mesh(dp=2, tiles=4)
+    # the step donates its input state (which aliases `scene`'s buffers), so
+    # snapshot originals and build a second state from a fresh scene
+    orig_xyz = np.asarray(scene.xyz).copy()
+    state = trainer.create_train_state(scene, opt, 1.0)
+    scene2 = toy_scene()
+
+    evs = jnp.stack([EV, EV + jnp.asarray([0, 0, 0, 0, 0.1, 0, 0])])
+    gts = jnp.zeros((2, 3, 32, 64))
+    step = make_hybrid_train_step(mesh, SET, opt, 1.0)
+    new_state, metrics = step(state, evs, gts, BG)
+    assert np.isfinite(float(metrics["loss"]))
+    # parameters actually moved
+    assert np.abs(np.asarray(new_state.scene.xyz) - orig_xyz).max() > 0
+
+    # cross-check the gradient against a single-device 2-camera mean
+    state2 = trainer.create_train_state(scene2, opt, 1.0)
+    s0 = state2.scene.update_observers()
+    params = trainer.scene_params(s0)
+
+    def loss_fn(params):
+        s = trainer.with_params(s0, params)
+        total = 0.0
+        for b in range(2):
+            out = trainer.render_scene(s, evs[b], SET, BG)
+            from c3dgs_tpu.ops import losses as L
+
+            total = total + L.photometric_loss(out["render"], gts[b], opt.lambda_dssim)
+        return total / 2
+
+    g_single = jax.grad(loss_fn)(params)
+
+    # re-derive sharded grads via one more step on fresh state with zero lr?
+    # simpler: compare updated params direction using identical Adam states
+    tx = trainer.make_optimizer(opt, 1.0)
+    updates, _ = tx.update(g_single, state2.opt_state, params)
+    expected = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+    got = trainer.scene_params(new_state.scene)
+    for k in expected:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(expected[k]), atol=5e-5, err_msg=k
+        )
+
+
+def test_mesh_shapes():
+    m = make_mesh(dp=4, tiles=2)
+    assert m.shape == {"dp": 4, "tiles": 2}
+    m2 = make_mesh(tiles=8)
+    assert m2.shape["dp"] == 1

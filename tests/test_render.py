@@ -1,0 +1,166 @@
+"""Rasterizer tests: Pallas tile renderer vs pure-JAX oracle, forward and
+backward (BASELINE.json config 1: toy scene, fwd+bwd allclose)."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from c3dgs_tpu.ops import quat
+from c3dgs_tpu.render import RasterSettings
+from c3dgs_tpu.render import oracle as oracle_mod
+from c3dgs_tpu.render import rasterizer
+from c3dgs_tpu.render.binning import bin_gaussians
+from c3dgs_tpu.render.preprocess import preprocess
+
+
+def make_scene(n=200, seed=0, sh=False):
+    rng = np.random.default_rng(seed)
+    means = rng.normal(size=(n, 3)).astype(np.float32) * 0.8
+    means[:, 2] += 4.0  # in front of camera
+    scales = np.exp(rng.normal(size=(n, 3)).astype(np.float32) * 0.5 - 2.5)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    cov3d = np.asarray(
+        quat.cov6_from_scaling_rotation(jnp.asarray(scales), jnp.asarray(quats))
+    )
+    opacity = (1 / (1 + np.exp(-rng.normal(size=n)))).astype(np.float32)
+    colors = rng.random(size=(n, 3)).astype(np.float32)
+    shs = None
+    if sh:
+        shs = rng.normal(size=(n, 16, 3)).astype(np.float32) * 0.3
+        colors = None
+    # identity camera at origin
+    ev = np.array([0, 0, 0, 1, 0, 0, 0], np.float32)
+    return (
+        jnp.asarray(means),
+        jnp.asarray(cov3d),
+        jnp.asarray(opacity),
+        jnp.asarray(ev),
+        None if colors is None else jnp.asarray(colors),
+        None if shs is None else jnp.asarray(shs),
+    )
+
+
+SETTINGS = RasterSettings(
+    width=64, height=48, tanfovx=math.tan(0.6), tanfovy=math.tan(0.45), sh_degree=3
+)
+
+
+def test_preprocess_culls_behind_camera():
+    means, cov, op, ev, colors, _ = make_scene(50)
+    means = means.at[:10, 2].set(-5.0)
+    prep = preprocess(means, cov, op, ev, SETTINGS, colors_precomp=colors)
+    assert not np.any(np.asarray(prep.radius[:10]) > 0)
+    assert np.any(np.asarray(prep.radius[10:]) > 0)
+
+
+def test_binning_consistency():
+    means, cov, op, ev, colors, _ = make_scene(100)
+    prep = preprocess(means, cov, op, ev, SETTINGS, colors_precomp=colors)
+    b = bin_gaussians(prep, SETTINGS)
+    assert int(b.overflow) == 0
+    assert int(b.clipped) == 0
+    # total emitted instances == sum of tiles_touched
+    assert int(b.num_instances) == int(np.asarray(prep.tiles_touched).sum())
+    # valid count matches num_instances
+    assert int(np.asarray(b.instance_valid).sum()) == int(b.num_instances)
+    # segments CHUNK-aligned
+    assert (np.asarray(b.tile_counts) % 128 == 0).all()
+
+
+@pytest.mark.parametrize("use_sh", [False, True])
+def test_pallas_matches_oracle_forward(use_sh):
+    means, cov, op, ev, colors, shs = make_scene(300, sh=use_sh)
+    bg = jnp.asarray([0.2, 0.1, 0.4])
+    out_o = oracle_mod.render_oracle(
+        means, cov, op, ev, SETTINGS, bg, shs=shs, colors_precomp=colors
+    )
+    out_p = rasterizer.render(
+        means, cov, op, ev, SETTINGS, bg, shs=shs, colors_precomp=colors
+    )
+    img_o = np.asarray(out_o["render"])
+    img_p = np.asarray(out_p["render"])
+    assert img_p.shape == (3, 48, 64)
+    np.testing.assert_allclose(img_p, img_o, atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out_p["final_T"]), np.asarray(out_o["final_T"]), atol=2e-5
+    )
+
+
+def test_pallas_matches_oracle_gradients():
+    means, cov, op, ev, colors, _ = make_scene(150)
+    bg = jnp.asarray([0.0, 0.0, 0.0])
+    target = jnp.zeros((3, 48, 64))
+
+    def loss_oracle(m, c, o, e, col):
+        img = oracle_mod.render_oracle(m, c, o, e, SETTINGS, bg, colors_precomp=col)[
+            "render"
+        ]
+        return ((img - target) ** 2).sum()
+
+    def loss_pallas(m, c, o, e, col):
+        img = rasterizer.render(m, c, o, e, SETTINGS, bg, colors_precomp=col)["render"]
+        return ((img - target) ** 2).sum()
+
+    go = jax.grad(loss_oracle, argnums=(0, 1, 2, 3, 4))(means, cov, op, ev, colors)
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4))(means, cov, op, ev, colors)
+    names = ["means", "cov", "opacity", "extrinsic", "colors"]
+    for name, a, b in zip(names, go, gp):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(
+            b / scale, a / scale, atol=5e-4, err_msg=f"grad mismatch: {name}"
+        )
+
+
+def test_oracle_gradient_matches_finite_differences():
+    means, cov, op, ev, colors, _ = make_scene(20)
+    bg = jnp.asarray([0.0, 0.0, 0.0])
+    small = RasterSettings(
+        width=32, height=32, tanfovx=math.tan(0.5), tanfovy=math.tan(0.5)
+    )
+
+    def loss(o):
+        img = oracle_mod.render_oracle(means, cov, o, ev, small, bg, colors_precomp=colors)[
+            "render"
+        ]
+        return (img**2).sum()
+
+    g = np.asarray(jax.grad(loss)(op))
+    eps = 1e-3
+    for i in [0, 5, 13]:
+        op_p = op.at[i].add(eps)
+        op_m = op.at[i].add(-eps)
+        fd = (float(loss(op_p)) - float(loss(op_m))) / (2 * eps)
+        assert abs(fd - g[i]) < 2e-2 * max(abs(fd), 1.0), (i, fd, g[i])
+
+
+def test_camera_gradients_flow():
+    means, cov, op, ev, colors, _ = make_scene(100)
+    bg = jnp.asarray([0.0, 0.0, 0.0])
+
+    def loss(e):
+        img = rasterizer.render(means, cov, op, e, SETTINGS, bg, colors_precomp=colors)[
+            "render"
+        ]
+        return img.sum()
+
+    g = np.asarray(jax.grad(loss)(ev))
+    assert g.shape == (7,)
+    assert np.abs(g).max() > 0
+
+
+def test_viewspace_offset_grads():
+    means, cov, op, ev, colors, _ = make_scene(100)
+    bg = jnp.asarray([0.0, 0.0, 0.0])
+    vs = jnp.zeros((100, 2))
+
+    def loss(v):
+        img = rasterizer.render(
+            means, cov, op, ev, SETTINGS, bg, colors_precomp=colors, viewspace_offset=v
+        )["render"]
+        return img.sum()
+
+    g = np.asarray(jax.grad(loss)(vs))
+    assert np.abs(g).max() > 0

@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Training CLI — the fork's epoch-based trainer on TPU.
+
+Parity: train.py:15-246 (epoch loop over every-10th train camera :58,
+L1+0.2(1-SSIM) loss :76-79, per-epoch densify/prune + opacity reset
+:161-170, SH degree warmup :172-173, checkpoint saves). Flags mirror
+arguments/__init__.py.
+"""
+import argparse
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def training(model_p, opt_p, pipe_p, save_epochs=(), quantization=True):
+    import jax
+    import jax.numpy as jnp
+
+    from c3dgs_tpu.config import save_config
+    from c3dgs_tpu.data import Scene
+    from c3dgs_tpu.render.types import settings_from_intrinsic
+    from c3dgs_tpu.train import trainer
+
+    scene = Scene(
+        source_path=model_p.source_path,
+        model_path=model_p.model_path,
+        resolution=model_p.resolution,
+        eval_split=model_p.eval,
+        white_background=model_p.white_background,
+        max_sh_degree=model_p.sh_degree,
+        quantization=quantization,
+        shuffle=True,
+    )
+    gaussians = scene.gaussians
+    assert gaussians is not None, "no initial point cloud found"
+    spatial_lr_scale = scene.cameras_extent
+
+    state = trainer.create_train_state(gaussians, opt_p, spatial_lr_scale)
+    bg = jnp.asarray(
+        [1.0, 1.0, 1.0] if model_p.white_background else [0.0, 0.0, 0.0]
+    )
+
+    cams = scene.get_train_cameras()
+    ema = None
+    t0 = time.time()
+    it = 0
+    for epoch in range(opt_p.epochs):
+        # every-10th camera per epoch (train.py:58)
+        epoch_cams = cams[epoch % 10 :: 10] or cams
+        for cam in epoch_cams:
+            settings = settings_from_intrinsic(cam.intrinsic)
+            gt = jnp.asarray(cam.original_image)
+            state, metrics = trainer.train_step(
+                state,
+                jnp.asarray(cam.extrinsic_vector),
+                gt,
+                settings,
+                bg,
+                opt_p,
+                spatial_lr_scale,
+            )
+            it += 1
+            loss = float(metrics["loss"])
+            ema = loss if ema is None else 0.6 * ema + 0.4 * loss
+        # epoch boundary: densify / prune / reset / SH warmup (train.py:153-173)
+        n_active = int(state.scene.num_active)
+        if epoch % 3 == 0 and epoch > 0 and epoch < 0.75 * opt_p.epochs:
+            free = state.scene.capacity - n_active
+            if free < max(1024, n_active // 4):
+                grown = state.scene.pad_to_capacity(state.scene.capacity * 2)
+                state = trainer.create_train_state(
+                    grown, opt_p, spatial_lr_scale
+                )._replace(step=state.step)
+            state, dropped = trainer.densify_step(
+                state, scene.cameras_extent, opt_p
+            )
+            if int(dropped) > 0:
+                print(f"[densify] dropped {int(dropped)} writes (capacity)")
+        if epoch % 9 == 0 and epoch > 0 and epoch < 0.75 * opt_p.epochs:
+            state = trainer.reset_opacity_step(state)
+        if epoch % 5 == 0:
+            state = state._replace(scene=state.scene.oneup_sh_degree())
+        print(
+            f"[epoch {epoch}] it={it} ema_loss={ema:.4f} "
+            f"active={int(state.scene.num_active)} ({time.time() - t0:.0f}s)"
+        )
+        if epoch in save_epochs or epoch == opt_p.epochs - 1:
+            scene.gaussians = state.scene
+            scene.save(it)
+    return state
+
+
+def main(argv=None):
+    from c3dgs_tpu.config import (
+        ModelParams,
+        OptimizationParams,
+        PipelineParams,
+        save_config,
+    )
+
+    parser = argparse.ArgumentParser(description="c3dgs_tpu training")
+    ModelParams.add_to_parser(parser, "model")
+    OptimizationParams.add_to_parser(parser, "optimization")
+    PipelineParams.add_to_parser(parser, "pipeline")
+    parser.add_argument("--save_epochs", nargs="+", type=int, default=[])
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    model_p = ModelParams.extract(args).post_extract()
+    opt_p = OptimizationParams.extract(args)
+    pipe_p = PipelineParams.extract(args)
+    if not model_p.model_path:
+        model_p = type(model_p)(**{**model_p.to_dict(), "model_path": "./output/run"})
+    os.makedirs(model_p.model_path, exist_ok=True)
+    save_config(
+        model_p.model_path,
+        {"model": model_p, "optimization": opt_p, "pipeline": pipe_p},
+    )
+    training(
+        model_p,
+        opt_p,
+        pipe_p,
+        save_epochs=set(args.save_epochs),
+        quantization=not opt_p.not_quantization_aware,
+    )
+
+
+if __name__ == "__main__":
+    main()
