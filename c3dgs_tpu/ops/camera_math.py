@@ -46,18 +46,32 @@ def extrinsic_to_mat(ev: jax.Array) -> jax.Array:
 def mat_to_extrinsic(m, normed: bool = True):
     """4x4 (or 3x4) world-to-camera matrix -> 7-vector.
 
-    Mirrors mat_to_quat (scene/cameras.py:16-26). Works with numpy or jnp.
+    Functional match for mat_to_quat (scene/cameras.py:16-26) but computed
+    with the branch-robust candidate method (utils/splats.py:44): the
+    reference's trace formula divides by zero for 180-degree rotations.
+    Works with numpy or jnp.
     """
     xp = jnp if isinstance(m, jax.Array) else __import__("numpy")
-    w = xp.sqrt(1.0 + m[0, 0] + m[1, 1] + m[2, 2]) / 2.0
-    w4 = 4.0 * w
-    x = (m[2, 1] - m[1, 2]) / w4
-    y = (m[0, 2] - m[2, 0]) / w4
-    z = (m[1, 0] - m[0, 1]) / w4
+    from . import quat as quat_mod
+
+    r = m[:3, :3]
+    if xp is jnp:
+        q = quat_mod.rotmat_to_quat(r)  # [w, x, y, z]
+        w, x, y, z = q[0], q[1], q[2], q[3]
+    else:
+        import numpy as np
+
+        q = np.asarray(quat_mod.rotmat_to_quat(jnp.asarray(r, jnp.float32)))
+        w, x, y, z = (float(q[i]) for i in range(4))
     if normed:
         n = (x * x + y * y + z * z + w * w) ** 0.5
         x, y, z, w = x / n, y / n, z / n, w / n
-    return xp.stack([x, y, z, w, m[0, 3], m[1, 3], m[2, 3]])
+    return xp.stack(
+        [
+            xp.asarray(v, dtype=m.dtype) if xp is not jnp else v
+            for v in (x, y, z, w, m[0, 3], m[1, 3], m[2, 3])
+        ]
+    )
 
 
 def projection_matrix(fovx: jax.Array, fovy: jax.Array, dtype=jnp.float32) -> jax.Array:
