@@ -203,7 +203,13 @@ def load_model(sparse_dir):
         cams = read_intrinsics_text(sparse / "cameras.txt")
         imgs = read_extrinsics_text(sparse / "images.txt")
     try:
-        pts = read_points3D_binary(sparse / "points3D.bin")
+        # native fast path (per-point Python parsing is slow at 5M+ points)
+        from .. import native
+
+        if native.get_lib() is not None:
+            pts = native.read_points3d_binary(str(sparse / "points3D.bin"))
+        else:
+            pts = read_points3D_binary(sparse / "points3D.bin")
     except FileNotFoundError:
         try:
             pts = read_points3D_text(sparse / "points3D.txt")

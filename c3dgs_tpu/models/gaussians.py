@@ -345,11 +345,11 @@ class GaussianScene(flax.struct.PyTreeNode):
 
     def morton_sorted(self) -> "GaussianScene":
         """Host-side Morton reorder of active rows (inactive rows go last)."""
-        from ..ops import morton
+        from .. import native
 
         xyz = np.asarray(self.xyz)
         active = np.asarray(self.active)
-        order = morton.morton_order(xyz)
+        order = native.morton_order(xyz)
         order = np.concatenate([order[active[order]], order[~active[order]]])
         return self.permute(order)
 

@@ -28,6 +28,28 @@ CHUNK = 128  # gaussians per kernel inner step; also the segment alignment
 NUM_FIELDS = 16  # instance field rows (9 used, padded for lane alignment)
 
 
+def DEPTH_BITS(num_tiles: int) -> int:
+    """Bits left for quantized depth in the packed 31-bit sort key."""
+    tile_bits = max(int(num_tiles + 1).bit_length(), 1)
+    return 31 - tile_bits
+
+
+def quantize_depth(depth, alive, num_tiles: int):
+    """Monotone uint32 depth quantization for the packed sort key (shared
+    with the oracle so tile and oracle orderings agree exactly)."""
+    bits = DEPTH_BITS(num_tiles)
+    levels = (1 << bits) - 1
+    dmin = jnp.min(jnp.where(alive, depth, jnp.inf))
+    dmax = jnp.max(jnp.where(alive, depth, -jnp.inf))
+    dmin = jnp.where(jnp.isfinite(dmin), dmin, 0.0)
+    span = jnp.maximum(dmax - dmin, 1e-12)
+    q = jnp.clip((depth - dmin) / span * levels, 0.0, float(levels))
+    # final clamp in integer domain: `levels` (2^b - 1) is not exactly
+    # representable in f32 for b > 24, and a rounded-up float clip bound
+    # would overflow the depth field into the tile bits of the packed key
+    return jnp.minimum(q.astype(jnp.uint32), jnp.uint32(levels))
+
+
 class Binning(NamedTuple):
     """Sorted, tile-segmented instance list (all shapes static)."""
 
@@ -53,65 +75,73 @@ def bin_gaussians(
     tiles_touched = prep.tiles_touched
     emit = jnp.minimum(tiles_touched, max_tiles)
     clipped = jnp.sum(tiles_touched - emit)
-    offsets = jnp.cumsum(emit) - emit  # exclusive
-    total = offsets[-1] + emit[-1]
+    # optimization_barrier: keep loop-producing ops (cumsum, sort, binary
+    # search) out of the big gathers' fusion — XLA otherwise re-runs them
+    # per gathered element (measured ~600x slowdowns)
+    cum = jax.lax.optimization_barrier(jnp.cumsum(emit))  # inclusive
+    offsets = jax.lax.optimization_barrier(cum - emit)  # exclusive
+    total = cum[-1]
     overflow = jnp.maximum(total - cap, 0)
 
     rect_w = prep.rect_max[:, 0] - prep.rect_min[:, 0]
-    gauss_idx = jnp.arange(n, dtype=jnp.int32)
 
-    # scatter pass j = 0..max_tiles-1: instance (g, j) -> slot offsets[g]+j
+    # gather formulation (vs the reference's duplicateWithKeys scatter,
+    # rasterizer_impl.cu:70-111): every instance slot locates its source
+    # gaussian by binary search over the emission prefix sums — one fully
+    # parallel O(K log N) pass, no sequential scatter loop.
+    slots = jnp.arange(cap, dtype=jnp.int32)
+    gid_k = jnp.searchsorted(cum, slots, side="right", method="sort").astype(jnp.int32)
+    # materialize the binary-search result: XLA otherwise fuses the search
+    # loop into every consumer gather (~600x slower, measured)
+    gid_k = jax.lax.optimization_barrier(gid_k)
+    gid_safe = jnp.minimum(gid_k, n - 1)
+    valid = slots < total
+    j = slots - offsets[gid_safe]
+    rw = jnp.maximum(rect_w[gid_safe], 1)
+    ty = prep.rect_min[gid_safe, 1] + j // rw
+    tx = prep.rect_min[gid_safe, 0] + j % rw
     sentinel = jnp.int32(num_tiles)
-    init_tile = jnp.full((cap,), sentinel, jnp.int32)
-    init_depth = jnp.full((cap,), jnp.inf, jnp.float32)
-    init_gid = jnp.zeros((cap,), jnp.int32)
+    tile_k = jnp.where(valid, ty * tiles_x + tx, sentinel)
+    gid_k = jnp.where(valid, gid_safe, 0)
 
-    def body(j, carry):
-        tile_k, depth_k, gid_k = carry
-        valid = j < emit
-        ty = prep.rect_min[:, 1] + jnp.where(rect_w > 0, j // rect_w, 0)
-        tx = prep.rect_min[:, 0] + jnp.where(rect_w > 0, j % rect_w, 0)
-        tile_id = ty * tiles_x + tx
-        slot = jnp.where(valid, offsets + j, cap)  # cap => dropped
-        tile_k = tile_k.at[slot].set(
-            jnp.where(valid, tile_id, sentinel), mode="drop"
-        )
-        depth_k = depth_k.at[slot].set(prep.depth, mode="drop")
-        gid_k = gid_k.at[slot].set(gauss_idx, mode="drop")
-        return tile_k, depth_k, gid_k
-
-    tile_k, depth_k, gid_k = jax.lax.fori_loop(
-        0, max_tiles, body, (init_tile, init_depth, init_gid)
-    )
-
-    # stable sort by (tile, depth) — matches CUB radix sort pair stability
-    tile_s, _, gid_s = jax.lax.sort(
-        (tile_k, depth_k, gid_k), num_keys=2, is_stable=True
-    )
+    # single packed int32 sort key: tile bits | quantized-depth bits. Depth
+    # only needs *relative* order within a tile; stability of the sort keeps
+    # equal-key instances in gaussian-id order exactly like CUB radix sort
+    # pairs (rasterizer_impl.cu:298-306). The oracle renderer uses the same
+    # quantization so orderings agree bit-for-bit in tests.
+    depth_q = quantize_depth(prep.depth, prep.radius > 0, num_tiles)
+    key = ((tile_k.astype(jnp.uint32) << DEPTH_BITS(num_tiles))
+           | jnp.where(valid, depth_q[gid_safe], 0)).astype(jnp.int32)
+    _, gid_s = jax.lax.sort((key, gid_k), num_keys=1, is_stable=True)
+    gid_s = jax.lax.optimization_barrier(gid_s)
+    tile_s = jax.lax.optimization_barrier(jax.lax.sort(tile_k))
 
     # per-tile ranges in the sorted array
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(tile_s, tile_ids, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(tile_s, tile_ids, side="right").astype(jnp.int32)
-    counts = ends - starts
+    starts = jax.lax.optimization_barrier(
+        jnp.searchsorted(tile_s, tile_ids, side="left", method="sort").astype(jnp.int32)
+    )
+    ends = jax.lax.optimization_barrier(
+        jnp.searchsorted(tile_s, tile_ids, side="right", method="sort").astype(jnp.int32)
+    )
+    counts = jax.lax.optimization_barrier(ends - starts)
     padded_counts = ((counts + CHUNK - 1) // CHUNK) * CHUNK
-    padded_starts = (jnp.cumsum(padded_counts) - padded_counts).astype(jnp.int32)
+    padded_starts = jax.lax.optimization_barrier(
+        (jnp.cumsum(padded_counts) - padded_counts).astype(jnp.int32)
+    )
 
-    # re-scatter instances into CHUNK-aligned segments
-    pos_in_tile = jnp.arange(cap, dtype=jnp.int32) - starts[
-        jnp.clip(tile_s, 0, num_tiles - 1)
-    ]
-    new_slot = jnp.where(
-        tile_s < num_tiles,
-        padded_starts[jnp.clip(tile_s, 0, num_tiles - 1)] + pos_in_tile,
-        k_pad,  # sentinel rows dropped
+    # CHUNK-aligned segment layout, built with gathers (scatters are slow on
+    # TPU): every padded slot finds its tile by binary search, then maps back
+    # into the tight sorted array.
+    pos = jnp.arange(k_pad, dtype=jnp.int32)
+    seg = jax.lax.optimization_barrier(
+        jnp.searchsorted(padded_starts, pos, side="right", method="sort").astype(jnp.int32)
     )
-    gid_pad = jnp.zeros((k_pad,), jnp.int32).at[new_slot].set(gid_s, mode="drop")
-    valid_pad = (
-        jnp.zeros((k_pad,), bool)
-        .at[new_slot]
-        .set(jnp.ones((cap,), bool), mode="drop")
-    )
+    seg = jnp.clip(seg - 1, 0, num_tiles - 1)
+    r = pos - padded_starts[seg]
+    src = jnp.minimum(starts[seg] + r, cap - 1)
+    valid_pad = (r < counts[seg]) & (pos < padded_starts[-1] + padded_counts[-1])
+    gid_pad = jnp.where(valid_pad, gid_s[src], 0)
 
     return Binning(
         gaussian_id=gid_pad,
@@ -135,20 +165,16 @@ def stage_fields(prep: Preprocessed, binning: Binning) -> jax.Array:
     """
     gid = binning.gaussian_id
     valid = binning.instance_valid
-    zeros = jnp.zeros_like(binning.gaussian_id, dtype=prep.mean2d.dtype)
-
-    def take(col):
-        return jnp.where(valid, col[gid], 0.0)
-
-    rows = [
-        take(prep.mean2d[:, 0]),
-        take(prep.mean2d[:, 1]),
-        take(prep.conic[:, 0]),
-        take(prep.conic[:, 1]),
-        take(prep.conic[:, 2]),
-        take(prep.opacity),
-        take(prep.color[:, 0]),
-        take(prep.color[:, 1]),
-        take(prep.color[:, 2]),
-    ] + [zeros] * (NUM_FIELDS - 9)
-    return jnp.stack(rows, axis=0)
+    n = prep.mean2d.shape[0]
+    per_gaussian = jnp.concatenate(
+        [
+            prep.mean2d,
+            prep.conic,
+            prep.opacity[:, None],
+            prep.color,
+            jnp.zeros((n, NUM_FIELDS - 9), prep.mean2d.dtype),
+        ],
+        axis=1,
+    )  # (N, NUM_FIELDS)
+    rows = per_gaussian[gid] * valid[:, None]  # one row gather (K, NUM_FIELDS)
+    return rows.T

@@ -41,8 +41,14 @@ def blend_oracle(
     h, w = settings.height, settings.width
     n = prep.depth.shape[0]
 
+    # order by the SAME quantized depth key the tile binning sorts with
+    # (binning.quantize_depth), so compositing order matches bit-for-bit
+    from .binning import quantize_depth
+
+    depth_q = quantize_depth(prep.depth, prep.radius > 0, settings.num_tiles)
     order = jnp.argsort(
-        jnp.where(prep.radius > 0, prep.depth, jnp.inf), stable=True
+        jnp.where(prep.radius > 0, depth_q, jnp.uint32(0xFFFFFFFF)),
+        stable=True,
     )
 
     px = jnp.arange(w, dtype=jnp.float32)[None, :]  # (1,W)

@@ -56,7 +56,9 @@ class RasterSettings:
 
     def resolve_caps(self, num_gaussians: int) -> Tuple[int, int]:
         inst = self.instance_capacity or max(1024, 8 * num_gaussians)
-        mtpg = self.max_tiles_per_gaussian or min(self.num_tiles, 256)
+        # gather-based binning makes large per-gaussian fanouts free; the
+        # cap only exists as an explicit user knob
+        mtpg = self.max_tiles_per_gaussian or self.num_tiles
         return inst, mtpg
 
 
