@@ -48,7 +48,7 @@ def main():
         tanfovx=math.tan(0.6),
         tanfovy=math.tan(0.6),
         sh_degree=3,
-        instance_capacity=8 * n,
+        instance_capacity=24 * n,
     )
     ev = jnp.asarray([0, 0, 0, 1, 0, 0, 0], jnp.float32)
     bg = jnp.zeros(3)

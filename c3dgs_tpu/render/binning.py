@@ -6,13 +6,21 @@ Differences forced/afforded by TPU+XLA:
 - static instance capacity instead of a device→host num_rendered readback
   (rasterizer_impl.cu:279): overflow is *counted* and returned as a
   diagnostic instead of reallocating;
-- per-gaussian tile fanout capped by a static `max_tiles_per_gaussian`
-  (clipped tiles are counted too);
-- `jax.lax.sort` over (tile, depth) key pairs replaces the radix sort
-  (both stable, so equal-depth ordering matches);
+- `jax.lax.sort` over packed (tile|quantized-depth) int32 keys replaces the
+  radix sort (both stable, so equal-depth ordering matches; the oracle
+  shares the quantization so orderings agree exactly);
 - each tile's segment of the sorted instance list is padded to a multiple of
   CHUNK (the Pallas kernel's gaussian batch), so every kernel DMA — forward
   reads and backward grad writes — is tile-aligned and race-free.
+
+TPU performance rules baked in (all measured on v5e):
+- sorts are nearly free; `jnp.searchsorted` and scatters are pathologically
+  slow at these sizes, so every "sorted-queries vs sorted-boundaries" rank
+  computation uses a two-sort compaction trick instead (`_rank_in_sorted`);
+- 1-D gathers fused into elementwise consumers serialize; lookups are done
+  as packed row-gathers (embedding-style) behind optimization_barrier;
+- per-tile quantities are computed once per CHUNK-aligned segment leader
+  and broadcast across lanes, not per instance.
 """
 from __future__ import annotations
 
@@ -26,6 +34,8 @@ from .types import RasterSettings
 
 CHUNK = 128  # gaussians per kernel inner step; also the segment alignment
 NUM_FIELDS = 16  # instance field rows (9 used, padded for lane alignment)
+
+_ob = jax.lax.optimization_barrier
 
 
 def DEPTH_BITS(num_tiles: int) -> int:
@@ -50,6 +60,32 @@ def quantize_depth(depth, alive, num_tiles: int):
     return jnp.minimum(q.astype(jnp.uint32), jnp.uint32(levels))
 
 
+def _rank_in_sorted(boundaries: jax.Array, queries: jax.Array) -> jax.Array:
+    """#{boundaries <= q} for every q, where BOTH inputs are ascending.
+
+    Equivalent to jnp.searchsorted(..., side='right') but far faster on
+    TPU: two stable sorts + a cumsum (searchsorted's binary-search loop
+    lowers terribly at 1e6 queries — ~100ms measured where sorts take ~1ms).
+    """
+    n = boundaries.shape[0]
+    k = queries.shape[0]
+    vals = jnp.concatenate([boundaries.astype(jnp.int32), queries])
+    # tag: 1 for boundaries, 0 for queries; boundaries come first so stable
+    # sorting puts equal boundary values before queries => side='right'
+    tag = jnp.concatenate([jnp.ones(n, jnp.int32), jnp.zeros(k, jnp.int32)])
+    _, tag_s = jax.lax.sort((vals, tag), num_keys=1, is_stable=True)
+    prefix = jnp.cumsum(tag_s)
+    # compact query entries back to the front in their original (ascending)
+    # order: sort by tag (queries=0 first); stability preserves order
+    _, ranks = jax.lax.sort((tag_s, prefix), num_keys=1, is_stable=True)
+    return _ob(ranks[:k].astype(jnp.int32))
+
+
+def _row_gather(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Embedding-style row gather, kept un-fused (the fast path on TPU)."""
+    return _ob(table[idx])
+
+
 class Binning(NamedTuple):
     """Sorted, tile-segmented instance list (all shapes static)."""
 
@@ -62,90 +98,103 @@ class Binning(NamedTuple):
     clipped: jax.Array  # () int32 tiles dropped (per-gaussian cap)
 
 
-def bin_gaussians(
-    prep: Preprocessed, settings: RasterSettings
-) -> Binning:
+def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> Binning:
     """Build the per-tile depth-sorted instance list."""
     n = prep.depth.shape[0]
     cap, max_tiles = settings.resolve_caps(n)
     num_tiles = settings.num_tiles
     tiles_x = settings.tiles_x
     k_pad = cap + num_tiles * CHUNK
+    n_chunks = k_pad // CHUNK
 
     tiles_touched = prep.tiles_touched
     emit = jnp.minimum(tiles_touched, max_tiles)
     clipped = jnp.sum(tiles_touched - emit)
-    # optimization_barrier: keep loop-producing ops (cumsum, sort, binary
-    # search) out of the big gathers' fusion — XLA otherwise re-runs them
-    # per gathered element (measured ~600x slowdowns)
-    cum = jax.lax.optimization_barrier(jnp.cumsum(emit))  # inclusive
-    offsets = jax.lax.optimization_barrier(cum - emit)  # exclusive
+    cum = _ob(jnp.cumsum(emit))  # inclusive
     total = cum[-1]
     overflow = jnp.maximum(total - cap, 0)
 
-    rect_w = prep.rect_max[:, 0] - prep.rect_min[:, 0]
-
-    # gather formulation (vs the reference's duplicateWithKeys scatter,
-    # rasterizer_impl.cu:70-111): every instance slot locates its source
-    # gaussian by binary search over the emission prefix sums — one fully
-    # parallel O(K log N) pass, no sequential scatter loop.
+    # ---- instance enumeration (gather formulation; the reference scatters
+    # via duplicateWithKeys, rasterizer_impl.cu:70-111): every instance slot
+    # finds its source gaussian by rank over the emission prefix sums.
     slots = jnp.arange(cap, dtype=jnp.int32)
-    gid_k = jnp.searchsorted(cum, slots, side="right", method="sort").astype(jnp.int32)
-    # materialize the binary-search result: XLA otherwise fuses the search
-    # loop into every consumer gather (~600x slower, measured)
-    gid_k = jax.lax.optimization_barrier(gid_k)
+    gid_k = _rank_in_sorted(cum, slots)
     gid_safe = jnp.minimum(gid_k, n - 1)
     valid = slots < total
-    j = slots - offsets[gid_safe]
-    rw = jnp.maximum(rect_w[gid_safe], 1)
-    ty = prep.rect_min[gid_safe, 1] + j // rw
-    tx = prep.rect_min[gid_safe, 0] + j % rw
+
+    # per-gaussian int32 table packed so the per-instance lookup is ONE row
+    # gather: [offset, rect_min_x, rect_min_y, rect_w, depth_q, pad...]
+    depth_q = quantize_depth(prep.depth, prep.radius > 0, num_tiles)
+    zeros_n = jnp.zeros(n, jnp.int32)
+    g_table = jnp.stack(
+        [
+            (cum - emit).astype(jnp.int32),
+            prep.rect_min[:, 0],
+            prep.rect_min[:, 1],
+            jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1),
+            depth_q.astype(jnp.int32),
+            zeros_n,
+            zeros_n,
+            zeros_n,
+        ],
+        axis=1,
+    )
+    rows = _row_gather(g_table, gid_safe)  # (cap, 8)
+    j = slots - rows[:, 0]
+    rw = rows[:, 3]
+    ty = rows[:, 2] + j // rw
+    tx = rows[:, 1] + j % rw
     sentinel = jnp.int32(num_tiles)
     tile_k = jnp.where(valid, ty * tiles_x + tx, sentinel)
-    gid_k = jnp.where(valid, gid_safe, 0)
 
-    # single packed int32 sort key: tile bits | quantized-depth bits. Depth
-    # only needs *relative* order within a tile; stability of the sort keeps
-    # equal-key instances in gaussian-id order exactly like CUB radix sort
-    # pairs (rasterizer_impl.cu:298-306). The oracle renderer uses the same
-    # quantization so orderings agree bit-for-bit in tests.
-    depth_q = quantize_depth(prep.depth, prep.radius > 0, num_tiles)
-    key = ((tile_k.astype(jnp.uint32) << DEPTH_BITS(num_tiles))
-           | jnp.where(valid, depth_q[gid_safe], 0)).astype(jnp.int32)
-    _, gid_s = jax.lax.sort((key, gid_k), num_keys=1, is_stable=True)
-    gid_s = jax.lax.optimization_barrier(gid_s)
-    tile_s = jax.lax.optimization_barrier(jax.lax.sort(tile_k))
+    # ---- packed single int32 sort key: tile bits | quantized depth bits.
+    # Stability keeps equal-key instances in gaussian order, exactly like
+    # CUB radix sort pairs (rasterizer_impl.cu:298-306).
+    key = (
+        (tile_k.astype(jnp.uint32) << DEPTH_BITS(num_tiles))
+        | jnp.where(valid, rows[:, 4].astype(jnp.uint32), 0)
+    ).astype(jnp.int32)
+    _, gid_s = jax.lax.sort(
+        (key, jnp.where(valid, gid_safe, 0)), num_keys=1, is_stable=True
+    )
+    gid_s = _ob(gid_s)
+    tile_s = _ob(jax.lax.sort(tile_k))
 
-    # per-tile ranges in the sorted array
+    # ---- per-tile ranges from ranks over the sorted tile array
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    starts = jax.lax.optimization_barrier(
-        jnp.searchsorted(tile_s, tile_ids, side="left", method="sort").astype(jnp.int32)
-    )
-    ends = jax.lax.optimization_barrier(
-        jnp.searchsorted(tile_s, tile_ids, side="right", method="sort").astype(jnp.int32)
-    )
-    counts = jax.lax.optimization_barrier(ends - starts)
+    ends = _rank_in_sorted(tile_s, tile_ids)  # #{tile_s <= t}
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), ends[:-1]])
+    counts = ends - starts
     padded_counts = ((counts + CHUNK - 1) // CHUNK) * CHUNK
-    padded_starts = jax.lax.optimization_barrier(
+    padded_starts = _ob(
         (jnp.cumsum(padded_counts) - padded_counts).astype(jnp.int32)
     )
 
-    # CHUNK-aligned segment layout, built with gathers (scatters are slow on
-    # TPU): every padded slot finds its tile by binary search, then maps back
-    # into the tight sorted array.
-    pos = jnp.arange(k_pad, dtype=jnp.int32)
-    seg = jax.lax.optimization_barrier(
-        jnp.searchsorted(padded_starts, pos, side="right", method="sort").astype(jnp.int32)
+    # ---- CHUNK-aligned segment layout via chunk leaders: the segment id is
+    # constant within each 128-slot chunk, so resolve it once per chunk and
+    # broadcast (1.8M per-instance lookups -> 14k).
+    leaders = jnp.arange(n_chunks, dtype=jnp.int32) * CHUNK
+    seg_c = jnp.clip(
+        _rank_in_sorted(padded_starts, leaders) - 1, 0, num_tiles - 1
     )
-    seg = jnp.clip(seg - 1, 0, num_tiles - 1)
-    r = pos - padded_starts[seg]
-    src = jnp.minimum(starts[seg] + r, cap - 1)
-    valid_pad = (r < counts[seg]) & (pos < padded_starts[-1] + padded_counts[-1])
-    gid_pad = jnp.where(valid_pad, gid_s[src], 0)
+    t_table = jnp.stack([padded_starts, starts, counts], axis=1)  # (T, 3)
+    trows = _row_gather(t_table, seg_c)  # (n_chunks, 3)
+    lane = jnp.arange(CHUNK, dtype=jnp.int32)
+    r = (leaders - trows[:, 0])[:, None] + lane[None, :]  # (n_chunks, CHUNK)
+    src = jnp.minimum(trows[:, 1][:, None] + r, cap - 1)
+    total_padded = padded_starts[-1] + padded_counts[-1]
+    valid_pad = (r < trows[:, 2][:, None]) & (
+        (leaders[:, None] + lane[None, :]) < total_padded
+    )
+    gid_pad = jnp.where(
+        valid_pad,
+        _row_gather(gid_s, src.reshape(-1)).reshape(n_chunks, CHUNK),
+        0,
+    )
 
     return Binning(
-        gaussian_id=gid_pad,
-        instance_valid=valid_pad,
+        gaussian_id=gid_pad.reshape(-1),
+        instance_valid=valid_pad.reshape(-1),
         tile_starts=padded_starts,
         tile_counts=padded_counts.astype(jnp.int32),
         num_instances=total.astype(jnp.int32),
