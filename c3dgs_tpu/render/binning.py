@@ -154,11 +154,14 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> Binning:
         (tile_k.astype(jnp.uint32) << DEPTH_BITS(num_tiles))
         | jnp.where(valid, rows[:, 4].astype(jnp.uint32), 0)
     ).astype(jnp.int32)
-    _, gid_s = jax.lax.sort(
+    key_s, gid_s = jax.lax.sort(
         (key, jnp.where(valid, gid_safe, 0)), num_keys=1, is_stable=True
     )
     gid_s = _ob(gid_s)
-    tile_s = _ob(jax.lax.sort(tile_k))
+    # sorted tile ids come free from the sorted keys' high bits
+    tile_s = _ob(
+        (key_s.astype(jnp.uint32) >> DEPTH_BITS(num_tiles)).astype(jnp.int32)
+    )
 
     # ---- per-tile ranges from ranks over the sorted tile array
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)

@@ -46,6 +46,10 @@ STOP_T = 1e-4
 MIN_ALPHA = 1.0 / 255.0
 MAX_ALPHA = 0.99
 OUT_ROWS = 8  # rows 0..2 color, 3 final_T, rest zero
+# chunk-level early exit once every pixel's transmittance is below EXIT_T;
+# stricter than STOP_T so skipped work is provably invisible (contributions
+# need T*(1-a) >= STOP_T, and the background term changes by < EXIT_T)
+EXIT_T = 1e-6
 
 
 def interpret_mode() -> bool:
@@ -124,33 +128,46 @@ def forward_kernel(
         dma(0, 0).start()
 
     def body(ci, carry):
-        color, t_carry = carry  # (PIX, 3), (PIX, 1)
+        color, t_carry, done = carry  # (PIX, 3), (PIX, 1), bool
 
         @pl.when(ci + 1 < nchunks)
         def _():
             dma((ci + 1) % 2, ci + 1).start()
 
         dma(ci % 2, ci).wait()
-        f = fbuf[ci % 2]
-        _, _, alpha, _, _ = _chunk_alpha(f, px, py)
-        tlog = jnp.log1p(-alpha)
-        s_excl = jnp.dot(tlog, strict, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-        t_in = t_carry * jnp.exp(s_excl)  # (PIX, CHUNK)
-        live = t_in * (1.0 - alpha) >= STOP_T
-        w = jnp.where(live, alpha * t_in, 0.0)
-        colors = f[6:9, :]  # (3, CHUNK)
-        color = color + jax.lax.dot_general(
-            w,
-            colors,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        t_carry = t_carry * jnp.exp(s_excl[:, CHUNK - 1 :] + tlog[:, CHUNK - 1 :])
-        return color, t_carry
 
-    init = (jnp.zeros((PIX, 3), jnp.float32), jnp.ones((PIX, 1), jnp.float32))
-    color, t_final = jax.lax.fori_loop(0, nchunks, body, init)
+        def compute(args):
+            color, t_carry = args
+            f = fbuf[ci % 2]
+            _, _, alpha, _, _ = _chunk_alpha(f, px, py)
+            tlog = jnp.log1p(-alpha)
+            s_excl = jnp.dot(tlog, strict, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+            t_in = t_carry * jnp.exp(s_excl)  # (PIX, CHUNK)
+            live = t_in * (1.0 - alpha) >= STOP_T
+            w = jnp.where(live, alpha * t_in, 0.0)
+            colors = f[6:9, :]  # (3, CHUNK)
+            color = color + jax.lax.dot_general(
+                w,
+                colors,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            t_carry = t_carry * jnp.exp(
+                s_excl[:, CHUNK - 1 :] + tlog[:, CHUNK - 1 :]
+            )
+            return color, t_carry
+
+        color, t_carry = jax.lax.cond(done, lambda a: a, compute, (color, t_carry))
+        done = jnp.max(t_carry) < EXIT_T
+        return color, t_carry, done
+
+    init = (
+        jnp.zeros((PIX, 3), jnp.float32),
+        jnp.ones((PIX, 1), jnp.float32),
+        jnp.zeros((), jnp.bool_),
+    )
+    color, t_final, _ = jax.lax.fori_loop(0, nchunks, body, init)
 
     out_ref[0] = jnp.concatenate(
         [color.T, t_final.T, jnp.zeros((OUT_ROWS - 4, PIX), jnp.float32)], axis=0
@@ -216,78 +233,96 @@ def backward_kernel(
 
     def body(ci, carry):
         # gpref[p] = sum_ch gC[ch,p] * (contributions of earlier chunks)[ch,p]
-        gpref, t_carry = carry  # (PIX, 1), (PIX, 1)
+        gpref, t_carry, done = carry  # (PIX, 1), (PIX, 1), bool
 
         @pl.when(ci + 1 < nchunks)
         def _():
             dma((ci + 1) % 2, ci + 1).start()
 
         dma(ci % 2, ci).wait()
-        f = fbuf[ci % 2]
-        dx, dy, alpha, mask, capped = _chunk_alpha(f, px, py)
-        ca = f[2:3, :]
-        cb = f[3:4, :]
-        cc = f[4:5, :]
-        op = f[5:6, :]
-        colors = f[6:9, :]  # (3, CHUNK)
 
-        tlog = jnp.log1p(-alpha)
-        s_excl = jnp.dot(tlog, strict, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-        t_in = t_carry * jnp.exp(s_excl)
-        live = t_in * (1.0 - alpha) >= STOP_T
-        w = jnp.where(live, alpha * t_in, 0.0)  # (PIX, CHUNK)
+        def compute(args):
+            gpref, t_carry = args
+            f = fbuf[ci % 2]
+            dx, dy, alpha, mask, capped = _chunk_alpha(f, px, py)
+            ca = f[2:3, :]
+            cb = f[3:4, :]
+            cc = f[4:5, :]
+            op = f[5:6, :]
+            colors = f[6:9, :]  # (3, CHUNK)
 
-        # grad color: dL/dc_i[ch] = sum_p gC[ch,p] w[p,i]
-        g_rgb = jnp.dot(g_color, w, preferred_element_type=jnp.float32)
-
-        # gc_dot_c[p,i] = sum_ch gC[ch,p] c_i[ch]
-        gc_dot_c = jax.lax.dot_general(
-            g_color,  # (3, PIX)
-            colors,  # (3, CHUNK)
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (PIX, CHUNK)
-
-        direct = gc_dot_c * jnp.where(live, t_in, 0.0)
-
-        # inclusive prefix of per-instance contribution dotted with gC
-        gwc = w * gc_dot_c  # (PIX, CHUNK)
-        gwc_prefix = jnp.dot(gwc, incl, preferred_element_type=jnp.float32,
+            tlog = jnp.log1p(-alpha)
+            s_excl = jnp.dot(tlog, strict, preferred_element_type=jnp.float32,
                              precision=jax.lax.Precision.HIGHEST)
-        g_suffix = g_dot_ctotal - gpref - gwc_prefix  # (PIX, CHUNK)
+            t_in = t_carry * jnp.exp(s_excl)
+            live = t_in * (1.0 - alpha) >= STOP_T
+            w = jnp.where(live, alpha * t_in, 0.0)  # (PIX, CHUNK)
 
-        one_m_a = 1.0 - alpha
-        g_alpha = direct - (g_suffix + g_tfin_term) / one_m_a
-        g_alpha = jnp.where(mask, g_alpha, 0.0)
-        g_raw = jnp.where(capped, 0.0, g_alpha)
-        g_op_pix = g_raw * jnp.where(mask, alpha / jnp.maximum(op, 1e-12), 0.0)
-        g_power = g_raw * alpha
+            # grad color: dL/dc_i[ch] = sum_p gC[ch,p] w[p,i]
+            g_rgb = jnp.dot(g_color, w, preferred_element_type=jnp.float32)
 
-        g_dx = g_power * (-(ca * dx + cb * dy))
-        g_dy = g_power * (-(cc * dy + cb * dx))
-        g_ca = g_power * (-0.5 * dx * dx)
-        g_cb = g_power * (-dx * dy)
-        g_cc = g_power * (-0.5 * dy * dy)
+            # gc_dot_c[p,i] = sum_ch gC[ch,p] c_i[ch]
+            gc_dot_c = jax.lax.dot_general(
+                g_color,  # (3, PIX)
+                colors,  # (3, CHUNK)
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (PIX, CHUNK)
 
-        ones_row = jnp.ones((1, PIX), jnp.float32)
+            direct = gc_dot_c * jnp.where(live, t_in, 0.0)
 
-        def colsum(m):  # (PIX, CHUNK) -> (1, CHUNK), on the MXU
-            return jnp.dot(ones_row, m, preferred_element_type=jnp.float32)
+            # inclusive prefix of per-instance contribution dotted with gC
+            gwc = w * gc_dot_c  # (PIX, CHUNK)
+            gwc_prefix = jnp.dot(gwc, incl, preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+            g_suffix = g_dot_ctotal - gpref - gwc_prefix  # (PIX, CHUNK)
 
-        gout = jnp.concatenate(
-            [
-                colsum(g_dx),
-                colsum(g_dy),
-                colsum(g_ca),
-                colsum(g_cb),
-                colsum(g_cc),
-                colsum(g_op_pix),
-                g_rgb,
-                jnp.zeros((NUM_FIELDS - 9, CHUNK), jnp.float32),
-            ],
-            axis=0,
-        )
+            one_m_a = 1.0 - alpha
+            g_alpha = direct - (g_suffix + g_tfin_term) / one_m_a
+            g_alpha = jnp.where(mask, g_alpha, 0.0)
+            g_raw = jnp.where(capped, 0.0, g_alpha)
+            g_op_pix = g_raw * jnp.where(
+                mask, alpha / jnp.maximum(op, 1e-12), 0.0
+            )
+            g_power = g_raw * alpha
+
+            g_dx = g_power * (-(ca * dx + cb * dy))
+            g_dy = g_power * (-(cc * dy + cb * dx))
+            g_ca = g_power * (-0.5 * dx * dx)
+            g_cb = g_power * (-dx * dy)
+            g_cc = g_power * (-0.5 * dy * dy)
+
+            ones_row = jnp.ones((1, PIX), jnp.float32)
+
+            def colsum(m):  # (PIX, CHUNK) -> (1, CHUNK), on the MXU
+                return jnp.dot(ones_row, m, preferred_element_type=jnp.float32)
+
+            gout = jnp.concatenate(
+                [
+                    colsum(g_dx),
+                    colsum(g_dy),
+                    colsum(g_ca),
+                    colsum(g_cb),
+                    colsum(g_cc),
+                    colsum(g_op_pix),
+                    g_rgb,
+                    jnp.zeros((NUM_FIELDS - 9, CHUNK), jnp.float32),
+                ],
+                axis=0,
+            )
+            gpref = gpref + gwc_prefix[:, CHUNK - 1 :]
+            t_carry = t_carry * jnp.exp(
+                s_excl[:, CHUNK - 1 :] + tlog[:, CHUNK - 1 :]
+            )
+            return gpref, t_carry, gout
+
+        def skip(args):
+            gpref, t_carry = args
+            # saturated: all remaining instances are dead; write zero grads
+            return gpref, t_carry, jnp.zeros((NUM_FIELDS, CHUNK), jnp.float32)
+
+        gpref, t_carry, gout = jax.lax.cond(done, skip, compute, (gpref, t_carry))
+        done = jnp.max(t_carry) < EXIT_T
 
         slot = ci % 2
 
@@ -298,11 +333,13 @@ def backward_kernel(
         gbuf[slot] = gout
         grad_write(slot, ci).start()
 
-        gpref = gpref + gwc_prefix[:, CHUNK - 1 :]
-        t_carry = t_carry * jnp.exp(s_excl[:, CHUNK - 1 :] + tlog[:, CHUNK - 1 :])
-        return gpref, t_carry
+        return gpref, t_carry, done
 
-    init = (jnp.zeros((PIX, 1), jnp.float32), jnp.ones((PIX, 1), jnp.float32))
+    init = (
+        jnp.zeros((PIX, 1), jnp.float32),
+        jnp.ones((PIX, 1), jnp.float32),
+        jnp.zeros((), jnp.bool_),
+    )
     jax.lax.fori_loop(0, nchunks, body, init)
 
     @pl.when(nchunks >= 2)
