@@ -21,6 +21,9 @@ import numpy as np
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from c3dgs_tpu.models import gaussians as gmod
@@ -37,9 +40,10 @@ def main():
     pts[:, 2] += 6.0
     cols = rng.random(size=(n, 3)).astype(np.float32)
     scene = gmod.from_point_cloud(pts, cols, capacity=n, quantization=False)
-    # shrink splats to a realistic screen footprint (~few px radius)
+    # shrink splats to a realistic screen footprint: trained 1080p scenes
+    # average ~4-6 touched tiles per gaussian
     scene = scene.replace(
-        scaling_factor=scene.scaling_factor + math.log(0.35)
+        scaling_factor=scene.scaling_factor + math.log(0.15)
     )
 
     settings = RasterSettings(
@@ -48,24 +52,15 @@ def main():
         tanfovx=math.tan(0.6),
         tanfovy=math.tan(0.6),
         sh_degree=3,
-        instance_capacity=24 * n,
     )
+    from c3dgs_tpu.render.capacity import CapacityPolicy
+
+    cap_env = os.environ.get("C3DGS_BENCH_CAP")
+    policy = CapacityPolicy(initial=int(cap_env) if cap_env else 1 << 21)
+    settings = policy.apply(settings)
     ev = jnp.asarray([0, 0, 0, 1, 0, 0, 0], jnp.float32)
     bg = jnp.zeros(3)
     gt = jnp.zeros((3, height, width))
-
-    def loss_fn(xyz, f_dc, f_rest, opacity, scaling, sf, rotation):
-        s = scene.replace(
-            xyz=xyz,
-            features_dc=f_dc,
-            features_rest=f_rest,
-            opacity=opacity,
-            scaling=scaling,
-            scaling_factor=sf,
-            rotation=rotation,
-        )
-        out = trainer.render_scene(s, ev, settings, bg)
-        return L.l1_loss(out["render"], gt)
 
     args = (
         scene.xyz,
@@ -76,7 +71,41 @@ def main():
         scene.scaling_factor,
         scene.rotation,
     )
-    step = jax.jit(jax.grad(loss_fn, argnums=tuple(range(7))))
+
+    # probe the frame's true instance count and bucket the capacity
+    if not cap_env:
+        from c3dgs_tpu.train import trainer as _tr
+
+        probe = jax.jit(
+            lambda: _tr.render_scene(
+                scene, ev, settings, bg
+            )["num_instances"]
+        )()
+        need = int(probe)
+        policy = CapacityPolicy(initial=int(need * 1.3))
+        settings = policy.apply(settings)
+        print(
+            f"# instances={need} -> capacity bucket {settings.instance_capacity}",
+            flush=True,
+        )
+
+    def loss_for(settings):
+        def loss_fn(xyz, f_dc, f_rest, opacity, scaling, sf, rotation):
+            s = scene.replace(
+                xyz=xyz,
+                features_dc=f_dc,
+                features_rest=f_rest,
+                opacity=opacity,
+                scaling=scaling,
+                scaling_factor=sf,
+                rotation=rotation,
+            )
+            out = trainer.render_scene(s, ev, settings, bg)
+            return L.l1_loss(out["render"], gt)
+
+        return loss_fn
+
+    step = jax.jit(jax.grad(loss_for(settings), argnums=tuple(range(7))))
 
     # warmup / compile
     grads = step(*args)

@@ -33,6 +33,7 @@ class Camera:
     image_path: Optional[str] = None
     flip_image: bool = False
     save_memory: bool = False
+    white_background: bool = False
     _image: Optional[np.ndarray] = dataclasses.field(default=None, repr=False)
 
     @property
@@ -61,7 +62,11 @@ class Camera:
             return self._image
         img = _read_image(self.image_path)
         if img.shape[2] == 4:
-            img = img[:, :, :3] * img[:, :, 3:4]
+            # alpha-composite over the training background
+            # (readCamerasFromTransforms in the reference blends onto
+            # white for Blender scenes; cameras.py:70-75 premultiplies)
+            bg = 1.0 if self.white_background else 0.0
+            img = img[:, :, :3] * img[:, :, 3:4] + bg * (1.0 - img[:, :, 3:4])
         if self.flip_image:
             img = img[::-1, ::-1, :]
         img = _resize(img, self.width, self.height)
@@ -138,7 +143,11 @@ def resolve_resolution(
 
 
 def camera_from_info(
-    cam_info, uid: int, resolution: int = -1, resolution_scale: float = 1.0
+    cam_info,
+    uid: int,
+    resolution: int = -1,
+    resolution_scale: float = 1.0,
+    white_background: bool = False,
 ) -> Camera:
     """Build a Camera from a reader CameraInfo, applying the resolution
     ladder (utils/camera_utils.py:17-43)."""
@@ -156,6 +165,7 @@ def camera_from_info(
         image_name=cam_info.image_name,
         image_path=cam_info.image_path,
         flip_image=getattr(cam_info, "flip_image", False),
+        white_background=white_background,
     )
 
 

@@ -95,11 +95,11 @@ class Scene:
         self.test_cameras: List[Camera] = []
         for scale in resolution_scales:
             self.train_cameras = [
-                camera_from_info(c, i, resolution, scale)
+                camera_from_info(c, i, resolution, scale, white_background)
                 for i, c in enumerate(info.train_cameras)
             ]
             self.test_cameras = [
-                camera_from_info(c, i, resolution, scale)
+                camera_from_info(c, i, resolution, scale, white_background)
                 for i, c in enumerate(info.test_cameras)
             ]
         for c in self.train_cameras + self.test_cameras:

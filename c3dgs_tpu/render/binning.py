@@ -93,6 +93,8 @@ class Binning(NamedTuple):
     instance_valid: jax.Array  # (K,) bool (False for segment padding)
     tile_starts: jax.Array  # (T,) int32 offset of each tile's segment
     tile_counts: jax.Array  # (T,) int32 padded count (multiple of CHUNK)
+    presort: jax.Array  # (K,) int32 pre-sort (gaussian-major) slot, or cap
+    gid_rank: jax.Array  # (cap,) int32 gaussian per pre-sort slot (ascending)
     num_instances: jax.Array  # () int32 true emitted instances
     overflow: jax.Array  # () int32 instances dropped (capacity)
     clipped: jax.Array  # () int32 tiles dropped (per-gaussian cap)
@@ -154,10 +156,11 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> Binning:
         (tile_k.astype(jnp.uint32) << DEPTH_BITS(num_tiles))
         | jnp.where(valid, rows[:, 4].astype(jnp.uint32), 0)
     ).astype(jnp.int32)
-    key_s, gid_s = jax.lax.sort(
-        (key, jnp.where(valid, gid_safe, 0)), num_keys=1, is_stable=True
+    key_s, gid_s, presort_s = jax.lax.sort(
+        (key, jnp.where(valid, gid_safe, 0), slots), num_keys=1, is_stable=True
     )
-    gid_s = _ob(gid_s)
+    # pack (gid, presort) so the padded-layout lookup is one row gather
+    inst_table = _ob(jnp.stack([gid_s, presort_s], axis=1))  # (cap, 2)
     # sorted tile ids come free from the sorted keys' high bits
     tile_s = _ob(
         (key_s.astype(jnp.uint32) >> DEPTH_BITS(num_tiles)).astype(jnp.int32)
@@ -189,34 +192,77 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> Binning:
     valid_pad = (r < trows[:, 2][:, None]) & (
         (leaders[:, None] + lane[None, :]) < total_padded
     )
-    gid_pad = jnp.where(
-        valid_pad,
-        _row_gather(gid_s, src.reshape(-1)).reshape(n_chunks, CHUNK),
-        0,
+    inst_rows = _row_gather(inst_table, src.reshape(-1)).reshape(
+        n_chunks, CHUNK, 2
     )
+    gid_pad = jnp.where(valid_pad, inst_rows[:, :, 0], 0)
+    presort_pad = jnp.where(valid_pad, inst_rows[:, :, 1], cap)
 
     return Binning(
         gaussian_id=gid_pad.reshape(-1),
         instance_valid=valid_pad.reshape(-1),
         tile_starts=padded_starts,
         tile_counts=padded_counts.astype(jnp.int32),
+        presort=presort_pad.reshape(-1),
+        gid_rank=jnp.minimum(gid_k, n),
         num_instances=total.astype(jnp.int32),
         overflow=overflow.astype(jnp.int32),
         clipped=clipped.astype(jnp.int32),
     )
 
 
+@jax.custom_vjp
+def _stage_gather(per_gaussian, gid, valid_f, presort, gid_rank):
+    rows = per_gaussian[gid] * valid_f[:, None]
+    return rows.T
+
+
+def _stage_gather_fwd(per_gaussian, gid, valid_f, presort, gid_rank):
+    return _stage_gather(per_gaussian, gid, valid_f, presort, gid_rank), (
+        valid_f,
+        presort,
+        gid_rank,
+        per_gaussian.shape[0],
+    )
+
+
+def _stage_gather_bwd(res, g):
+    # Deterministic segment reduction instead of a random-index scatter:
+    # post-sort instance order has RANDOM gaussian ids, and random-index
+    # scatter-add runs at ~12 elem/us on TPU (150 ms measured here). One
+    # fast sort reorders the instance grads back to pre-sort
+    # (gaussian-contiguous) order, where ids ascend and segment_sum lowers
+    # vectorized (~0.1 ms).
+    valid_f, presort, gid_rank, n = res
+    cap = gid_rank.shape[0]
+    k_pad = presort.shape[0]
+    d_rows = _ob(g.T * valid_f[:, None])  # (k_pad, 16)
+    # inverse permutation via sort: padding rows carry presort == cap and
+    # land at the tail; their grads are zero by the valid mask
+    _, order = jax.lax.sort(
+        (presort, jnp.arange(k_pad, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
+    d_pre = _ob(d_rows[_ob(order[:cap])])  # (cap, 16) gaussian-major
+    d_per_gaussian = _ob(
+        jax.ops.segment_sum(
+            d_pre, gid_rank, num_segments=n, indices_are_sorted=True
+        )
+    )
+    return d_per_gaussian, None, None, None, None
+
+
+_stage_gather.defvjp(_stage_gather_fwd, _stage_gather_bwd)
+
+
 def stage_fields(prep: Preprocessed, binning: Binning) -> jax.Array:
     """Gather per-instance data into the (NUM_FIELDS, K) layout the Pallas
     kernel consumes (lane-major so chunk DMAs are contiguous 128-lane
-    slices). Differentiable: the gather's VJP is a deterministic
-    segment-sum back to gaussians — this replaces the reference backward's
-    atomicAdd scatter (backward.cu:523-554).
+    slices). Differentiable: the gather's VJP is a deterministic segment-sum
+    back to gaussians — this replaces the reference backward's atomicAdd
+    scatter (backward.cu:523-554).
 
     Rows: 0 x, 1 y, 2..4 conic(a,b,c), 5 opacity, 6..8 rgb, 9..15 zero.
     """
-    gid = binning.gaussian_id
-    valid = binning.instance_valid
     n = prep.mean2d.shape[0]
     per_gaussian = jnp.concatenate(
         [
@@ -228,5 +274,10 @@ def stage_fields(prep: Preprocessed, binning: Binning) -> jax.Array:
         ],
         axis=1,
     )  # (N, NUM_FIELDS)
-    rows = per_gaussian[gid] * valid[:, None]  # one row gather (K, NUM_FIELDS)
-    return rows.T
+    return _stage_gather(
+        per_gaussian,
+        binning.gaussian_id,
+        binning.instance_valid.astype(per_gaussian.dtype),
+        binning.presort,
+        binning.gid_rank,
+    )

@@ -140,24 +140,47 @@ def preprocess(
         -1,
     )
 
-    # tile rect (auxiliary.h getRect)
+    # Tile rect. The reference uses the circumscribed circle of the 3-sigma
+    # ellipse (getRect with radius 3*sqrt(lambda_max)); here the rect is the
+    # ellipse's exact axis-aligned bbox, further tightened to the
+    # alpha >= 1/255 support: c = min(3, sqrt(2 ln(255*opacity))). Pixels
+    # outside either bound are skipped by renderCUDA's own alpha cut
+    # (forward.cu:352-354), so this produces IDENTICAL images with far
+    # fewer (gaussian, tile) instances — low-opacity splats shrink a lot.
+    c_op = jnp.sqrt(2.0 * jnp.log(jnp.maximum(255.0 * opacity, 1.0 + 1e-6)))
+    invisible = opacity * 255.0 <= 1.0  # can never pass the alpha cut
+    # c_op >= 3: the 3-sigma truncation dominates — use the reference's
+    # circle rect bit-for-bit. c_op < 3: the alpha cut dominates and the
+    # tight bbox is provably output-identical.
+    tight = c_op < 3.0
+    half_x = jnp.where(
+        tight,
+        jnp.ceil(c_op * jnp.sqrt(jnp.maximum(cov2d[:, 0], 0.0))),
+        radius_f,
+    )
+    half_y = jnp.where(
+        tight,
+        jnp.ceil(c_op * jnp.sqrt(jnp.maximum(cov2d[:, 2], 0.0))),
+        radius_f,
+    )
+
     tx, ty = settings.tiles_x, settings.tiles_y
     rect_min = jnp.stack(
         [
-            jnp.clip(((mean2d[:, 0] - radius_f) / TILE_X).astype(jnp.int32), 0, tx),
-            jnp.clip(((mean2d[:, 1] - radius_f) / TILE_Y).astype(jnp.int32), 0, ty),
+            jnp.clip(((mean2d[:, 0] - half_x) / TILE_X).astype(jnp.int32), 0, tx),
+            jnp.clip(((mean2d[:, 1] - half_y) / TILE_Y).astype(jnp.int32), 0, ty),
         ],
         -1,
     )
     rect_max = jnp.stack(
         [
             jnp.clip(
-                ((mean2d[:, 0] + radius_f + TILE_X - 1) / TILE_X).astype(jnp.int32),
+                ((mean2d[:, 0] + half_x + TILE_X - 1) / TILE_X).astype(jnp.int32),
                 0,
                 tx,
             ),
             jnp.clip(
-                ((mean2d[:, 1] + radius_f + TILE_Y - 1) / TILE_Y).astype(jnp.int32),
+                ((mean2d[:, 1] + half_y + TILE_Y - 1) / TILE_Y).astype(jnp.int32),
                 0,
                 ty,
             ),
@@ -168,7 +191,7 @@ def preprocess(
     rect_h = rect_max[:, 1] - rect_min[:, 1]
     tiles = rect_w * rect_h
 
-    alive = in_front & det_ok & (tiles > 0)
+    alive = in_front & det_ok & (tiles > 0) & ~invisible
 
     if colors_precomp is not None:
         color = colors_precomp

@@ -39,6 +39,13 @@ def run_vq(model_p, opt_p, pipe_p, comp_p):
         shuffle=True,
     )
     gaussians = scene.gaussians
+    if comp_p.start_checkpoint:
+        from c3dgs_tpu.train import checkpoint as ckpt
+
+        state = ckpt.load_checkpoint(comp_p.start_checkpoint, opt_p)
+        gaussians = state.scene
+        scene.gaussians = gaussians
+        print(f"Loaded start checkpoint: {comp_p.start_checkpoint}")
     timings = {}
 
     t0 = time.time()
