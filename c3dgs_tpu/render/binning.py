@@ -282,6 +282,9 @@ def stage_fields(prep: Preprocessed, binning: Binning) -> jax.Array:
         ],
         axis=1,
     )  # (N, NUM_FIELDS)
+    # materialize the table: the row gather serializes when the concat
+    # producer fuses into it
+    per_gaussian = _ob(per_gaussian)
     return _stage_gather(
         per_gaussian,
         binning.gaussian_id,

@@ -164,3 +164,20 @@ def test_viewspace_offset_grads():
 
     g = np.asarray(jax.grad(loss)(vs))
     assert np.abs(g).max() > 0
+
+
+def test_capacity_policy():
+    from c3dgs_tpu.render.capacity import MIN_CAPACITY, CapacityPolicy
+
+    pol = CapacityPolicy(initial=1 << 20, shrink_patience=3)
+    assert pol.capacity == 1 << 20
+    # overflow grows + requests re-render
+    assert pol.update(num_instances=3_000_000, overflow=100) is True
+    assert pol.capacity >= 3_000_000
+    # sustained low usage shrinks after patience
+    for _ in range(3):
+        pol.update(num_instances=1000, overflow=0)
+    assert pol.capacity < 4_194_304
+    # never below the floor
+    tiny = CapacityPolicy(initial=1)
+    assert tiny.capacity == MIN_CAPACITY

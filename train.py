@@ -42,6 +42,9 @@ def training(model_p, opt_p, pipe_p, save_epochs=(), quantization=True):
     bg = jnp.asarray(
         [1.0, 1.0, 1.0] if model_p.white_background else [0.0, 0.0, 0.0]
     )
+    from c3dgs_tpu.render.capacity import CapacityPolicy
+
+    capacity = CapacityPolicy(initial=1 << 20)
 
     cams = scene.get_train_cameras()
     ema = None
@@ -51,7 +54,7 @@ def training(model_p, opt_p, pipe_p, save_epochs=(), quantization=True):
         # every-10th camera per epoch (train.py:58)
         epoch_cams = cams[epoch % 10 :: 10] or cams
         for cam in epoch_cams:
-            settings = settings_from_intrinsic(cam.intrinsic)
+            settings = capacity.apply(settings_from_intrinsic(cam.intrinsic))
             gt = jnp.asarray(cam.original_image)
             state, metrics = trainer.train_step(
                 state,
@@ -62,6 +65,15 @@ def training(model_p, opt_p, pipe_p, save_epochs=(), quantization=True):
                 opt_p,
                 spatial_lr_scale,
             )
+            if capacity.update(
+                int(metrics["num_instances"]), int(metrics["overflow"])
+            ):
+                # this frame trained with clipped instances (overflow is a
+                # soft degradation, not an error); subsequent frames render
+                # at the grown capacity bucket
+                print(
+                    f"[capacity] overflow -> bucket {capacity.capacity}"
+                )
             it += 1
             loss = float(metrics["loss"])
             ema = loss if ema is None else 0.6 * ema + 0.4 * loss
