@@ -14,3 +14,7 @@ Morton-ordered int8 containers), re-architected for TPU:
 """
 
 __version__ = "0.1.0"
+
+# convenience top-level API
+from .models.gaussians import GaussianScene, from_point_cloud  # noqa: E402,F401
+from .render.types import RasterSettings, settings_from_intrinsic  # noqa: E402,F401
