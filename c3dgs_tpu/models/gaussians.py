@@ -215,8 +215,15 @@ class GaussianScene(flax.struct.PyTreeNode):
         if self.is_color_indexed and self.is_gaussian_indexed:
             return self
         n = self.capacity
-        idx = jnp.arange(n, dtype=jnp.int32)
-        return self.replace(feature_indices=idx, gaussian_indices=idx)
+        # two distinct buffers: aliased pytree leaves break donation in the
+        # jitted train/finetune steps (XLA: "donate the same buffer twice")
+        fidx = jnp.arange(n, dtype=jnp.int32)
+        gidx = jnp.arange(n, dtype=jnp.int32)
+        if self.is_color_indexed:
+            fidx = self.feature_indices
+        if self.is_gaussian_indexed:
+            gidx = self.gaussian_indices
+        return self.replace(feature_indices=fidx, gaussian_indices=gidx)
 
     def to_unindexed(self) -> "GaussianScene":
         """Gather codebooks to dense rows (gaussian_model.py:889)."""

@@ -71,6 +71,13 @@ def test_indexed_roundtrip():
     np.testing.assert_allclose(
         np.asarray(idx.get_features()), np.asarray(scene.get_features()), atol=1e-6
     )
+    # the two index leaves must be distinct buffers: aliased leaves break
+    # buffer donation in jitted train/finetune steps on TPU
+    assert idx.feature_indices is not idx.gaussian_indices
+    assert (
+        idx.feature_indices.unsafe_buffer_pointer()
+        != idx.gaussian_indices.unsafe_buffer_pointer()
+    )
 
 
 def test_mask_splats_and_compact():
