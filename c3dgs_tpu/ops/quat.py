@@ -151,5 +151,32 @@ def extract_rot_scale(cov: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def cov6_from_scaling_rotation(scaling: jax.Array, rotation: jax.Array) -> jax.Array:
-    """Convenience: 6-vec covariance straight from scale + quaternion."""
-    return strip_symmetric(build_covariance(scaling, rotation))
+    """6-vec covariance straight from scale + quaternion.
+
+    Algebraically strip_symmetric(build_covariance(...)) but written
+    elementwise: batched (N,3,3) dot_generals and [..., i, j] slices lower
+    to strided HBM traffic on TPU (~16 ms fwd+bwd at 300k splats measured);
+    this form fuses into one vectorized pass over N.
+    """
+    q = normalize(rotation)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    s0 = scaling[..., 0] * scaling[..., 0]
+    s1 = scaling[..., 1] * scaling[..., 1]
+    s2 = scaling[..., 2] * scaling[..., 2]
+    # Sigma_ab = sum_k s_k^2 R_ak R_bk  (Sigma = R S^2 R^T)
+    xx = s0 * r00 * r00 + s1 * r01 * r01 + s2 * r02 * r02
+    xy = s0 * r00 * r10 + s1 * r01 * r11 + s2 * r02 * r12
+    xz = s0 * r00 * r20 + s1 * r01 * r21 + s2 * r02 * r22
+    yy = s0 * r10 * r10 + s1 * r11 * r11 + s2 * r12 * r12
+    yz = s0 * r10 * r20 + s1 * r11 * r21 + s2 * r12 * r22
+    zz = s0 * r20 * r20 + s1 * r21 * r21 + s2 * r22 * r22
+    return jnp.stack([xx, xy, xz, yy, yz, zz], -1)

@@ -34,6 +34,7 @@ from .types import RasterSettings
 
 CHUNK = 128  # gaussians per kernel inner step; also the segment alignment
 NUM_FIELDS = 16  # instance field rows (9 used, padded for lane alignment)
+NUM_USED_FIELDS = 9  # x, y, conic(3), opacity, rgb(3); the rest stay zero
 
 _ob = jax.lax.optimization_barrier
 
@@ -227,13 +228,19 @@ def _stage_gather_fwd(per_gaussian, gid, valid_f, presort, gid_rank, offsets, co
 
 
 def _stage_gather_bwd(res, g):
-    # Deterministic segment reduction with NO scatter: post-sort instance
-    # order has RANDOM gaussian ids, and TPU random-index scatter-add runs
-    # at ~12 elem/us (150 ms measured; jax.ops.segment_sum lowers to the
-    # same scatter even with sorted ids). Instead: one fast sort reorders
-    # instance grads back to pre-sort (gaussian-contiguous) order, then
-    # per-gaussian sums are prefix-sum differences at the emission segment
-    # boundaries — sorts + cumsum + row gathers only.
+    # Deterministic segment reduction with NO scatter and NO permutation
+    # gather: post-sort instance order has RANDOM gaussian ids, and TPU
+    # random-index scatter-add runs at ~12 elem/us (150 ms measured;
+    # jax.ops.segment_sum lowers to the same scatter even with sorted ids).
+    # Random-index GATHERS are also per-row expensive (~24 ns/row at 1M rows
+    # measured, independent of row width 9 vs 16). So the reorder back to
+    # pre-sort (gaussian-contiguous) order is ONE multi-payload sort keyed
+    # on the pre-sort slot, carrying the 9 live grad columns (13.9 ms vs
+    # 2.6 ms int sort + 26.5 ms permutation row-gather at the 1080p/300k
+    # bench). Per-gaussian sums are then prefix-sum differences at the
+    # emission boundaries; segments are CONSECUTIVE (offsets[i] =
+    # offsets[i-1] + counts[i-1]), so the start boundary is the previous
+    # end boundary — one ascending row gather, shifted, instead of two.
     #
     # Precision note: the prefix-difference introduces O(eps * |prefix|)
     # absolute error per gaussian (vs exact per-segment addition). Segment
@@ -241,21 +248,25 @@ def _stage_gather_bwd(res, g):
     # gradient-match tests vs the oracle stay within tolerance.
     valid_f, presort, gid_rank, offsets, counts = res
     cap = gid_rank.shape[0]
-    k_pad = presort.shape[0]
-    d_rows = _ob(g.T * valid_f[:, None])  # (k_pad, 16)
-    # inverse permutation via sort: padding rows carry presort == cap and
-    # land at the tail; their grads are zero by the valid mask
-    _, order = jax.lax.sort(
-        (presort, jnp.arange(k_pad, dtype=jnp.int32)), num_keys=1, is_stable=True
+    n = offsets.shape[0]
+    live = NUM_USED_FIELDS
+    # g rows are contiguous slices of the (16, k_pad) cotangent; padding
+    # slots carry presort == cap and land at the sorted tail (dropped by
+    # the [:cap] slice), and their grads are zeroed by the valid mask
+    cols = tuple(g[j] * valid_f for j in range(live))
+    sorted_cols = jax.lax.sort((presort,) + cols, num_keys=1, is_stable=True)
+    d_pre = _ob(
+        jnp.stack([c[:cap] for c in sorted_cols[1:]], axis=1)
+    )  # (cap, live) gaussian-major
+    cs = _ob(jnp.cumsum(d_pre, axis=0))  # (cap, live)
+    end_idx = jnp.clip(offsets + counts - 1, 0, cap - 1)  # = cum-1, ascending
+    cs_end = _ob(cs[end_idx])  # (n, live)
+    prev = jnp.concatenate([jnp.zeros((1, live), cs.dtype), cs_end[:-1]], 0)
+    seg = cs_end - jnp.where((offsets > 0)[:, None], prev, 0.0)
+    seg = jnp.where((counts > 0)[:, None], seg, 0.0)
+    d_per_gaussian = jnp.concatenate(
+        [seg, jnp.zeros((n, NUM_FIELDS - live), seg.dtype)], axis=1
     )
-    d_pre = _ob(d_rows[_ob(order[:cap])])  # (cap, 16) gaussian-major
-    cs = _ob(jnp.cumsum(d_pre, axis=0))  # (cap, 16)
-    end_idx = jnp.clip(offsets + counts - 1, 0, cap - 1)
-    start_idx = jnp.clip(offsets - 1, 0, cap - 1)
-    seg = _ob(cs[end_idx]) - jnp.where(
-        (offsets > 0)[:, None], _ob(cs[start_idx]), 0.0
-    )
-    d_per_gaussian = jnp.where((counts > 0)[:, None], seg, 0.0)
     return d_per_gaussian, None, None, None, None, None, None
 
 

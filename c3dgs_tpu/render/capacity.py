@@ -3,9 +3,12 @@
 XLA needs static shapes, but num_rendered varies per frame (the reference
 reads it back and allocates dynamically, rasterizer_impl.cu:279). Binning
 cost scales with the static capacity, so over-provisioning is pure waste.
-This policy keeps capacity in power-of-2 buckets: grow when a frame
-overflows (and re-render it), shrink when sustained usage falls below a
-quarter of the bucket. At most log2(range) distinct compilations per run.
+This policy keeps capacity in geometric buckets of the form m * 2^e with a
+4-bit mantissa (m in 8..15): at most 14.3% overshoot (power-of-2 buckets
+waste up to 2x, and every binning gather/sort scales with capacity), while
+still bounding distinct compiled shapes to ~4 per octave. Grow when a frame
+overflows (and re-render it), shrink one mantissa step when sustained usage
+falls well below the bucket.
 """
 from __future__ import annotations
 
@@ -39,10 +42,11 @@ class CapacityPolicy:
             self.capacity = max(_bucket(max(need, self.capacity + 1)), MIN_CAPACITY)
             self._low_count = 0
             return overflow > 0
-        if need < self.capacity // 4 and self.capacity > MIN_CAPACITY:
+        if need < self.capacity * 3 // 4 and self.capacity > MIN_CAPACITY:
             self._low_count += 1
             if self._low_count >= self.shrink_patience:
-                self.capacity //= 2
+                e = max(int(self.capacity).bit_length() - 4, 0)
+                self.capacity = max(self.capacity - (1 << e), MIN_CAPACITY)
                 self._low_count = 0
         else:
             self._low_count = 0
@@ -50,4 +54,9 @@ class CapacityPolicy:
 
 
 def _bucket(x: int) -> int:
-    return 1 << max(int(x - 1).bit_length(), 0)
+    """Smallest m * 2^e >= x with mantissa m in 8..15 (4 bucket steps per
+    octave, <=14.3% overshoot)."""
+    if x <= 1:
+        return 1
+    e = max(int(x - 1).bit_length() - 4, 0)
+    return -(-x // (1 << e)) << e

@@ -50,6 +50,10 @@ OUT_ROWS = 8  # rows 0..2 color, 3 final_T, rest zero
 # stricter than STOP_T so skipped work is provably invisible (contributions
 # need T*(1-a) >= STOP_T, and the background term changes by < EXIT_T)
 EXIT_T = 1e-6
+# Triangular-prefix matmul precision: must be HIGHEST (6-pass bf16) — DEFAULT
+# (1-pass bf16) was measured at ~4e-3 image error, and Mosaic supports only
+# DEFAULT/HIGHEST in-kernel (HIGH raises NotImplementedError).
+_PREFIX_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def interpret_mode() -> bool:
@@ -142,7 +146,7 @@ def forward_kernel(
             _, _, alpha, _, _ = _chunk_alpha(f, px, py)
             tlog = jnp.log1p(-alpha)
             s_excl = jnp.dot(tlog, strict, preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
+                             precision=_PREFIX_PRECISION)
             t_in = t_carry * jnp.exp(s_excl)  # (PIX, CHUNK)
             live = t_in * (1.0 - alpha) >= STOP_T
             w = jnp.where(live, alpha * t_in, 0.0)
@@ -253,7 +257,7 @@ def backward_kernel(
 
             tlog = jnp.log1p(-alpha)
             s_excl = jnp.dot(tlog, strict, preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
+                             precision=_PREFIX_PRECISION)
             t_in = t_carry * jnp.exp(s_excl)
             live = t_in * (1.0 - alpha) >= STOP_T
             w = jnp.where(live, alpha * t_in, 0.0)  # (PIX, CHUNK)
@@ -274,7 +278,7 @@ def backward_kernel(
             # inclusive prefix of per-instance contribution dotted with gC
             gwc = w * gc_dot_c  # (PIX, CHUNK)
             gwc_prefix = jnp.dot(gwc, incl, preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
+                                 precision=_PREFIX_PRECISION)
             g_suffix = g_dot_ctotal - gpref - gwc_prefix  # (PIX, CHUNK)
 
             one_m_a = 1.0 - alpha
