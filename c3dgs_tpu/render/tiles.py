@@ -50,10 +50,23 @@ OUT_ROWS = 8  # rows 0..2 color, 3 final_T, rest zero
 # stricter than STOP_T so skipped work is provably invisible (contributions
 # need T*(1-a) >= STOP_T, and the background term changes by < EXIT_T)
 EXIT_T = 1e-6
-# Triangular-prefix matmul precision: must be HIGHEST (6-pass bf16) — DEFAULT
-# (1-pass bf16) was measured at ~4e-3 image error, and Mosaic supports only
-# DEFAULT/HIGHEST in-kernel (HIGH raises NotImplementedError).
-_PREFIX_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _tri_dot(x, tri):
+    """x @ tri at ~f32 accuracy in 2 MXU passes.
+
+    The MXU truncates f32 inputs to bf16 per pass; HIGHEST costs 6 passes
+    (3-term splits of BOTH operands) and DEFAULT (1 pass) was measured at
+    ~4e-3 image error. But `tri` is a 0/1 matrix — exactly bf16 — so only
+    x needs splitting: x = hi + lo with hi = bf16(x) gives
+    x @ tri = hi @ tri + lo @ tri exactly up to the bf16 rounding of lo
+    (~2^-16 relative), 3x fewer passes than HIGHEST at 256x less error
+    than DEFAULT.
+    """
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = x - hi
+    d = lambda a: jnp.dot(a, tri, preferred_element_type=jnp.float32)
+    return d(hi) + d(lo)
 
 
 def interpret_mode() -> bool:
@@ -145,8 +158,7 @@ def forward_kernel(
             f = fbuf[ci % 2]
             _, _, alpha, _, _ = _chunk_alpha(f, px, py)
             tlog = jnp.log1p(-alpha)
-            s_excl = jnp.dot(tlog, strict, preferred_element_type=jnp.float32,
-                             precision=_PREFIX_PRECISION)
+            s_excl = _tri_dot(tlog, strict)
             t_in = t_carry * jnp.exp(s_excl)  # (PIX, CHUNK)
             live = t_in * (1.0 - alpha) >= STOP_T
             w = jnp.where(live, alpha * t_in, 0.0)
@@ -256,8 +268,7 @@ def backward_kernel(
             colors = f[6:9, :]  # (3, CHUNK)
 
             tlog = jnp.log1p(-alpha)
-            s_excl = jnp.dot(tlog, strict, preferred_element_type=jnp.float32,
-                             precision=_PREFIX_PRECISION)
+            s_excl = _tri_dot(tlog, strict)
             t_in = t_carry * jnp.exp(s_excl)
             live = t_in * (1.0 - alpha) >= STOP_T
             w = jnp.where(live, alpha * t_in, 0.0)  # (PIX, CHUNK)
@@ -277,8 +288,7 @@ def backward_kernel(
 
             # inclusive prefix of per-instance contribution dotted with gC
             gwc = w * gc_dot_c  # (PIX, CHUNK)
-            gwc_prefix = jnp.dot(gwc, incl, preferred_element_type=jnp.float32,
-                                 precision=_PREFIX_PRECISION)
+            gwc_prefix = _tri_dot(gwc, incl)
             g_suffix = g_dot_ctotal - gpref - gwc_prefix  # (PIX, CHUNK)
 
             one_m_a = 1.0 - alpha
