@@ -107,15 +107,17 @@ def main():
 
     step = jax.jit(jax.grad(loss_for(settings), argnums=tuple(range(7))))
 
-    # warmup / compile
+    # warmup / compile; consume a value — on the tunneled backend
+    # block_until_ready alone does not reliably synchronize (docs/PERF.md)
     grads = step(*args)
-    jax.block_until_ready(grads)
+    float(jnp.sum(grads[0]))
 
     iters = int(os.environ.get("C3DGS_BENCH_ITERS", 10))
     t0 = time.perf_counter()
     for _ in range(iters):
         grads = step(*args)
-    jax.block_until_ready(grads)
+    # ground-truth sync: a host readback that depends on the last iteration
+    float(jnp.sum(grads[0]))
     ms = (time.perf_counter() - t0) / iters * 1000.0
 
     baseline_ms = 28.0

@@ -31,9 +31,9 @@ from ..config import OptimizationParams
 from ..models.gaussians import GaussianScene
 from ..ops import losses as L
 from ..render import tiles as tiles_mod
-from ..render.binning import bin_gaussians, stage_fields
+from ..render.binning import bin_gaussians, per_gaussian_table
 from ..render.preprocess import preprocess
-from ..render.rasterizer import assemble_image, tile_blend
+from ..render.rasterizer import assemble_image, blend_gaussians
 from ..render.types import RasterSettings
 from ..train import trainer
 
@@ -43,25 +43,52 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _local_blend_tiles(prep, settings: RasterSettings, n_tiles_axis: int):
-    """Per-device piece: bin (all tiles), then blend only this device's tile
-    slice. Returns the local (T_local, OUT_ROWS, PIX) block."""
-    binning = bin_gaussians(prep, settings)
-    fields = stage_fields(prep, binning)
+    """Per-device piece: bin (all tiles, replicated), then blend only this
+    device's tile slice. Returns the local (T_local, OUT_ROWS, PIX) block."""
+    binning = bin_gaussians(jax.lax.stop_gradient(prep), settings)
+    table = per_gaussian_table(prep)
+    n = prep.mean2d.shape[0]
+    cap, _ = settings.resolve_caps(n)
+    grad_cap = settings.resolve_grad_cap(n)
     t_total = settings.num_tiles
     t_pad = _round_up(t_total, n_tiles_axis)
     t_local = t_pad // n_tiles_axis
 
-    starts = jnp.pad(binning.tile_starts, (0, t_pad - t_total))
-    counts = jnp.pad(binning.tile_counts, (0, t_pad - t_total))
+    pad = t_pad - t_total
+    starts = jnp.pad(binning.starts, (0, pad))
+    ends = jnp.pad(binning.ends, (0, pad))  # start == end: empty tile
+    chunk0 = jnp.pad(binning.chunk0, (0, pad))
+    nchunks = jnp.pad(binning.nchunks, (0, pad))
+    # one-past table so each slice knows its grad coverage end
+    grad_base_ext = jnp.concatenate(
+        [binning.grad_base, jnp.full((pad + 1,), binning.grad_total, jnp.int32)]
+    )
     ids = jnp.arange(t_pad, dtype=jnp.int32)
 
     my = jax.lax.axis_index("tiles") * t_local
-    starts_l = jax.lax.dynamic_slice(starts, (my,), (t_local,))
-    counts_l = jax.lax.dynamic_slice(counts, (my,), (t_local,))
-    ids_l = jax.lax.dynamic_slice(ids, (my,), (t_local,))
+    sl = lambda a: jax.lax.dynamic_slice(a, (my,), (t_local,))
+    grad_lo = jax.lax.dynamic_slice(grad_base_ext, (my,), (1,))[0]
+    grad_hi = jax.lax.dynamic_slice(grad_base_ext, (my + t_local,), (1,))[0]
 
-    out_l = tile_blend(
-        settings.tiles_x, t_local, fields, starts_l, counts_l, ids_l
+    out_l = blend_gaussians(
+        settings.tiles_x,
+        t_local,
+        cap,
+        grad_cap,
+        True,
+        table,
+        (
+            binning.gid_sorted,
+            binning.presort,
+            sl(starts),
+            sl(ends),
+            sl(chunk0),
+            sl(nchunks),
+            sl(grad_base_ext[:-1]),
+            binning.emit_cum,
+        ),
+        sl(ids),
+        (grad_lo, grad_hi),
     )
     return out_l, binning
 
@@ -149,10 +176,15 @@ def make_hybrid_train_step(
             return L.photometric_loss(image, gt, opt.lambda_dssim)
 
         loss, grads = jax.value_and_grad(local_loss)(params)
-        # exact: tiles-psum reassembles per-camera grads, dp-psum sums
-        # cameras; divide for the camera mean
+        # every device in a dp row computes the (identical) full-image loss,
+        # and the transpose of the "tiles" all_gather is a reduce-scatter of
+        # those identical cotangents — so each grad_d arrives scaled by
+        # n_tiles. tiles-psum reassembles per-camera grads (x n_tiles),
+        # dp-psum sums cameras; divide by both for the exact camera mean
+        # (n_tiles, n_dp powers of two -> the division is exact in f32)
         grads = jax.tree_util.tree_map(
-            lambda g: jax.lax.psum(g, ("dp", "tiles")) / n_dp, grads
+            lambda g: jax.lax.psum(g, ("dp", "tiles")) / (n_dp * n_tiles_axis),
+            grads,
         )
         loss = jax.lax.psum(loss, "dp") / n_dp
         return loss, grads

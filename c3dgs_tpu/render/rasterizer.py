@@ -5,8 +5,9 @@
 (…no_camera/__init__.py:881-1046), fused into one jittable pipeline:
 
   preprocess (jnp, autodiff)  ->  bin+sort (non-diff bookkeeping)
-  -> stage gather (autodiff: VJP = deterministic segment-sum)
-  -> tile_blend (Pallas fwd/bwd via custom_vjp) -> image assembly (jnp)
+  -> blend_gaussians (custom_vjp: stage gather + Pallas fwd kernel;
+     VJP = Pallas bwd kernel + one sort + prefix-sum segment reduction)
+  -> image assembly (jnp)
 
 Camera-pose gradients: `extrinsic_vector` is a differentiated input of
 preprocess, so jax.grad provides the pose Jacobian the reference computes
@@ -27,17 +28,37 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import tiles
-from .binning import CHUNK, NUM_FIELDS, bin_gaussians, stage_fields
+from .binning import (
+    CHUNK,
+    NUM_FIELDS,
+    NUM_USED_FIELDS,
+    PRESORT_ROW,
+    Binning,
+    _rank_in_sorted,
+    bin_gaussians,
+    per_gaussian_table,
+)
 from .preprocess import preprocess
 from .types import TILE_X, TILE_Y, RasterSettings
 
+_ob = jax.lax.optimization_barrier
+
+
+def _build_fields(table: jax.Array, gid_sorted: jax.Array, presort: jax.Array):
+    """(N, NUM_FIELDS) per-gaussian table -> (NUM_FIELDS, cap) staged
+    instance fields in sorted unpadded order, with the pre-sort slot in row
+    PRESORT_ROW (exact in f32 for caps < 2^24)."""
+    rows = _ob(table[gid_sorted])  # (cap, NUM_FIELDS) ONE row gather
+    rows = rows.at[:, PRESORT_ROW].set(presort.astype(jnp.float32))
+    return rows.T
+
 
 def _blend_forward_call(
-    tiles_x: int, num_tiles: int, fields, starts, counts, tile_ids
+    tiles_x: int, num_tiles: int, fields, tile_ids, starts, ends, chunk0, nchunks
 ):
     kernel = functools.partial(tiles.forward_kernel, tiles_x=tiles_x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
@@ -57,15 +78,27 @@ def _blend_forward_call(
             (num_tiles, tiles.OUT_ROWS, tiles.PIX), jnp.float32
         ),
         interpret=tiles.interpret_mode(),
-    )(tile_ids, starts, counts, fields)
+    )(tile_ids, starts, ends, chunk0, nchunks, fields)
 
 
 def _blend_backward_call(
-    tiles_x: int, num_tiles: int, fields, starts, counts, tile_ids, totals, gout
+    tiles_x: int,
+    num_tiles: int,
+    cap: int,
+    grad_cap: int,
+    fields,
+    tile_ids,
+    starts,
+    ends,
+    chunk0,
+    nchunks,
+    grad_base,
+    totals,
+    gout,
 ):
-    kernel = functools.partial(tiles.backward_kernel, tiles_x=tiles_x)
+    kernel = functools.partial(tiles.backward_kernel, tiles_x=tiles_x, cap=cap)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=6,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # fields
@@ -82,43 +115,155 @@ def _blend_backward_call(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    grads = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(fields.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NUM_FIELDS, grad_cap), jnp.float32),
         interpret=tiles.interpret_mode(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_ids, starts, counts, fields, totals, gout)
-    # only this call's own tile segments were DMA'd; everything outside
-    # [starts[0], last end) is uninitialized memory (crucial when the tile
-    # grid is sharded: other devices' segments live there)
-    pos = jnp.arange(fields.shape[1])
-    covered = (pos >= starts[0]) & (pos < starts[-1] + counts[-1])
-    return jnp.where(covered[None, :], grads, 0.0)
+    )(tile_ids, starts, ends, chunk0, nchunks, grad_base, fields, totals, gout)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def tile_blend(tiles_x: int, num_tiles: int, fields, starts, counts, tile_ids):
-    """Alpha-composite staged instances. Returns (T, OUT_ROWS, PIX):
-    rows 0..2 color (no background), row 3 final transmittance. `tile_ids`
-    maps grid index -> global tile id (identity when unsharded)."""
-    return _blend_forward_call(tiles_x, num_tiles, fields, starts, counts, tile_ids)
+def _reduce_instance_grads(
+    grads, emit_cum, cap: int, grad_lo, grad_hi, partial_coverage: bool
+):
+    """(NUM_FIELDS, grad_cap) per-instance grads -> (N, NUM_FIELDS)
+    per-gaussian grads.
 
+    Deterministic, scatter-free: ONE multi-payload sort keyed on the
+    pre-sort slot (row PRESORT_ROW; gaussian-major emission order) brings
+    grads to gaussian-contiguous order; per-gaussian sums are prefix-sum
+    differences at the emission boundaries. Rows outside the
+    [grad_lo, grad_hi) coverage are uninitialized memory (other devices'
+    tiles under tile sharding) and are keyed to the >= cap sentinel; the
+    kernels already sentinel-tag (and zero) foreign/dead lanes inside
+    covered chunks.
 
-def _tile_blend_fwd(tiles_x, num_tiles, fields, starts, counts, tile_ids):
-    out = _blend_forward_call(tiles_x, num_tiles, fields, starts, counts, tile_ids)
-    return out, (fields, starts, counts, tile_ids, out)
+    Boundaries: with full coverage every emitted instance is present
+    exactly once, so after the sort instance `slot` sits at position `slot`
+    and the per-gaussian boundary counts are simply emit_cum. Under tile
+    sharding (partial_coverage=True) this device holds only its tiles'
+    instances, which the sort COMPACTS to the front — global slot
+    boundaries would misattribute grads between neighboring gaussians, so
+    the per-device boundary count #{covered slots <= emit_cum[i]-1} is
+    recovered with one rank pass over the already-sorted keys.
 
-
-def _tile_blend_bwd(tiles_x, num_tiles, res, g):
-    fields, starts, counts, tile_ids, out = res
-    d_fields = _blend_backward_call(
-        tiles_x, num_tiles, fields, starts, counts, tile_ids, out, g
+    Precision note: the prefix-difference introduces O(eps * |prefix|)
+    absolute error per gaussian (vs exact per-segment addition). Segment
+    grads are later consumed by Adam (scale-invariant per coordinate);
+    gradient-match tests vs the oracle stay within tolerance.
+    """
+    n = emit_cum.shape[0]
+    grad_cap = grads.shape[1]
+    live = NUM_USED_FIELDS
+    pos = jnp.arange(grad_cap, dtype=jnp.int32)
+    covered = (pos >= grad_lo) & (pos < grad_hi)
+    key = jnp.where(covered, grads[PRESORT_ROW].astype(jnp.int32), cap)
+    key = jnp.where((key >= 0) & (key < cap), key, cap)
+    cols = tuple(jnp.where(covered, grads[j], 0.0) for j in range(live))
+    sorted_cols = jax.lax.sort((key,) + cols, num_keys=1, is_stable=True)
+    d_pre = _ob(
+        jnp.stack([c[:cap] for c in sorted_cols[1:]], axis=1)
+    )  # (cap, live) gaussian-major; tail rows (key >= cap) have zero cols
+    # or sit at positions past every boundary read below
+    cs = _ob(jnp.cumsum(d_pre, axis=0))  # (cap, live)
+    if partial_coverage:
+        end_pos = _rank_in_sorted(sorted_cols[0][:cap], emit_cum - 1)
+    else:
+        end_pos = emit_cum  # boundary COUNTS, nondecreasing
+    cs_end = jnp.where(
+        (end_pos > 0)[:, None],
+        _ob(cs[jnp.clip(end_pos - 1, 0, cap - 1)]),
+        0.0,
+    )  # (n, live)
+    prev = jnp.concatenate([jnp.zeros((1, live), cs.dtype), cs_end[:-1]], 0)
+    seg = cs_end - prev
+    return jnp.concatenate(
+        [seg, jnp.zeros((n, NUM_FIELDS - live), seg.dtype)], axis=1
     )
-    return d_fields, None, None, None
 
 
-tile_blend.defvjp(_tile_blend_fwd, _tile_blend_bwd)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def blend_gaussians(
+    tiles_x: int,
+    num_tiles: int,
+    cap: int,
+    grad_cap: int,
+    partial_coverage: bool,
+    table,
+    bookkeeping,
+    tile_ids,
+    grad_range,
+):
+    """Stage + alpha-composite. Returns (T, OUT_ROWS, PIX): rows 0..2 color
+    (no background), row 3 final transmittance.
+
+    table: (N, NUM_FIELDS) differentiable per-gaussian fields.
+    bookkeeping: tuple (gid_sorted, presort, starts, ends, chunk0, nchunks,
+      grad_base, emit_cum) — `starts..grad_base` sliced per device when the
+      tile grid is sharded; gid_sorted/presort/emit_cum always global.
+    partial_coverage: True when this call blends only a slice of the tile
+      grid (tile sharding), so the VJP must recover per-device gaussian
+      boundaries instead of using the global emit_cum.
+    tile_ids maps grid index -> global tile id (identity when unsharded).
+    grad_range: (lo, hi) coverage of this call's grad writes.
+    """
+    gid_sorted, presort, starts, ends, chunk0, nchunks, grad_base, emit_cum = (
+        bookkeeping
+    )
+    fields = _build_fields(table, gid_sorted, presort)
+    return _blend_forward_call(
+        tiles_x, num_tiles, fields, tile_ids, starts, ends, chunk0, nchunks
+    )
+
+
+def _blend_fwd(
+    tiles_x,
+    num_tiles,
+    cap,
+    grad_cap,
+    partial_coverage,
+    table,
+    bookkeeping,
+    tile_ids,
+    grad_range,
+):
+    gid_sorted, presort, starts, ends, chunk0, nchunks, grad_base, emit_cum = (
+        bookkeeping
+    )
+    fields = _build_fields(table, gid_sorted, presort)
+    out = _blend_forward_call(
+        tiles_x, num_tiles, fields, tile_ids, starts, ends, chunk0, nchunks
+    )
+    res = (fields, bookkeeping, tile_ids, grad_range, out)
+    return out, res
+
+
+def _blend_bwd(tiles_x, num_tiles, cap, grad_cap, partial_coverage, res, g):
+    fields, bookkeeping, tile_ids, grad_range, out = res
+    _, _, starts, ends, chunk0, nchunks, grad_base, emit_cum = bookkeeping
+    grads = _blend_backward_call(
+        tiles_x,
+        num_tiles,
+        cap,
+        grad_cap,
+        fields,
+        tile_ids,
+        starts,
+        ends,
+        chunk0,
+        nchunks,
+        grad_base,
+        out,
+        g,
+    )
+    d_table = _reduce_instance_grads(
+        grads, emit_cum, cap, grad_range[0], grad_range[1], partial_coverage
+    )
+    return d_table, None, None, None
+
+
+blend_gaussians.defvjp(_blend_fwd, _blend_bwd)
 
 
 def assemble_image(out_tiles: jax.Array, settings: RasterSettings):
@@ -162,15 +307,30 @@ def render(
         )
         prep = prep._replace(mean2d=prep.mean2d + viewspace_offset * scale)
 
-    binning = bin_gaussians(prep, settings)
-    fields = stage_fields(prep, binning)
-    out_tiles = tile_blend(
+    binning = bin_gaussians(jax.lax.stop_gradient(prep), settings)
+    table = per_gaussian_table(prep)
+    n = means3d.shape[0]
+    cap, _ = settings.resolve_caps(n)
+    grad_cap = settings.resolve_grad_cap(n)
+    out_tiles = blend_gaussians(
         settings.tiles_x,
         settings.num_tiles,
-        fields,
-        binning.tile_starts,
-        binning.tile_counts,
+        cap,
+        grad_cap,
+        False,
+        table,
+        (
+            binning.gid_sorted,
+            binning.presort,
+            binning.starts,
+            binning.ends,
+            binning.chunk0,
+            binning.nchunks,
+            binning.grad_base,
+            binning.emit_cum,
+        ),
         jnp.arange(settings.num_tiles, dtype=jnp.int32),
+        (jnp.int32(0), binning.grad_total),
     )
     color, final_t = assemble_image(out_tiles, settings)
     image = color + final_t[None] * bg[:, None, None]
@@ -181,5 +341,7 @@ def render(
         "visibility_filter": prep.radius > 0,
         "num_instances": binning.num_instances,
         "overflow": binning.overflow,
+        "grad_total": binning.grad_total,
+        "grad_overflow": binning.grad_overflow,
         "clipped": binning.clipped,
     }

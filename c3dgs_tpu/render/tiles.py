@@ -11,18 +11,22 @@ the MXU*:
                      -> (256,128) @ strictly-triangular ones (128,128) matmul
   color          C  += (alpha * T * live) (256,128) @ colors (128,3)
 
+Instance data is staged (NUM_FIELDS=16, cap) lane-major in HBM in sorted
+UNPADDED order; each tile's segment [start, end) is covered by 128-aligned
+global chunks and out-of-range lanes are masked to alpha=0 (they belong to
+neighboring tiles or are the tile's sentinel row). This removes the padded
+instance layout entirely — no per-tile alignment gathers ever run.
+
 The backward needs suffix sums S_i = C_total - prefix_{<=i}; the prefix is
 the *inclusive* triangular matmul — same machinery, so the whole backward
 runs front-to-back (no back-to-front pass like backward.cu:472, and no
-atomics: each instance belongs to exactly one tile, so per-instance grads
-are written race-free and reduced to gaussians by the staging gather's own
-VJP — see binning.stage_fields). This makes gradients deterministic, unlike
-the reference's atomicAdd accumulation.
-
-Instance data is staged (NUM_FIELDS=16, K) lane-major in HBM; each chunk is
-a contiguous (16,128) DMA double-buffered into VMEM. Tile segments are
-CHUNK-aligned by construction (binning.py), so chunk reads and grad writes
-never cross tile boundaries.
+atomics): per-instance grads are written to a separate 128-aligned grad
+buffer at grad_base[t] + chunk*CHUNK (each (tile, chunk) owns its slot —
+race-free even on shared boundary chunks), tagged in row PRESORT_ROW with
+the instance's pre-sort slot. rasterizer.blend_gaussians reduces them to
+per-gaussian grads with one multi-payload sort + prefix-sum differences —
+deterministic, unlike the reference's atomicAdd accumulation
+(backward.cu:523-554).
 
 Divergence from CUDA, both documented in oracle.py: (1) after a pixel
 saturates (T < 1e-4) we keep updating T instead of freezing it — identical
@@ -38,7 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .binning import CHUNK, NUM_FIELDS
+from .binning import CHUNK, NUM_FIELDS, PRESORT_ROW
 from .types import TILE_X, TILE_Y
 
 PIX = TILE_X * TILE_Y  # 256 pixels per tile
@@ -93,12 +97,20 @@ def _tri_matrices():
     return strict, incl
 
 
-def _chunk_alpha(f, px, py):
+def _range_mask(base, start, end):
+    """(1, CHUNK) bool: which lanes of the aligned chunk at `base` hold
+    instances of this tile's [start, end) segment."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    gpos = base + lane
+    return (gpos >= start) & (gpos < end)
+
+
+def _chunk_alpha(f, px, py, seg_mask):
     """Alpha evaluation for one staged chunk f: (NUM_FIELDS, CHUNK).
 
     Returns (PIX, CHUNK) arrays: dx, dy, alpha (masked), mask, capped.
-    Masking = the renderCUDA skip rules (power>0, alpha<1/255).
-    """
+    Masking = the renderCUDA skip rules (power>0, alpha<1/255) AND the
+    lane belonging to this tile's segment (seg_mask, (1, CHUNK))."""
     x = f[0:1, :]
     y = f[1:2, :]
     ca = f[2:3, :]
@@ -111,7 +123,7 @@ def _chunk_alpha(f, px, py):
     raw = op * jnp.exp(power)
     capped = raw > MAX_ALPHA
     alpha = jnp.minimum(MAX_ALPHA, raw)
-    mask = (power <= 0.0) & (raw >= MIN_ALPHA)
+    mask = (power <= 0.0) & (raw >= MIN_ALPHA) & seg_mask
     alpha = jnp.where(mask, alpha, 0.0)
     return dx, dy, alpha, mask, capped
 
@@ -119,7 +131,9 @@ def _chunk_alpha(f, px, py):
 def forward_kernel(
     tile_ids_ref,
     starts_ref,
-    counts_ref,
+    ends_ref,
+    chunk0_ref,
+    nchunks_ref,
     fields_hbm,
     out_ref,
     fbuf,
@@ -128,14 +142,17 @@ def forward_kernel(
     tiles_x: int,
 ):
     t = pl.program_id(0)
-    start = pl.multiple_of(starts_ref[t], CHUNK)
-    nchunks = counts_ref[t] // CHUNK
+    c0 = chunk0_ref[t]
+    nchunks = nchunks_ref[t]
+    start = starts_ref[t]
+    end = ends_ref[t]
     px, py = _pixel_coords(tile_ids_ref[t], tiles_x)
     strict, _ = _tri_matrices()
 
     def dma(slot, ci):
+        base = pl.multiple_of((c0 + ci) * CHUNK, CHUNK)
         return pltpu.make_async_copy(
-            fields_hbm.at[:, pl.ds(start + ci * CHUNK, CHUNK)],
+            fields_hbm.at[:, pl.ds(base, CHUNK)],
             fbuf.at[slot],
             sems.at[slot],
         )
@@ -156,7 +173,8 @@ def forward_kernel(
         def compute(args):
             color, t_carry = args
             f = fbuf[ci % 2]
-            _, _, alpha, _, _ = _chunk_alpha(f, px, py)
+            seg = _range_mask((c0 + ci) * CHUNK, start, end)
+            _, _, alpha, _, _ = _chunk_alpha(f, px, py, seg)
             tlog = jnp.log1p(-alpha)
             s_excl = _tri_dot(tlog, strict)
             t_in = t_carry * jnp.exp(s_excl)  # (PIX, CHUNK)
@@ -193,11 +211,14 @@ def forward_kernel(
 def backward_kernel(
     tile_ids_ref,
     starts_ref,
-    counts_ref,
+    ends_ref,
+    chunk0_ref,
+    nchunks_ref,
+    grad_base_ref,
     fields_hbm,
     totals_hbm,  # (T, OUT_ROWS, PIX): fwd output (rows 0..2 C, 3 final_T)
     gout_hbm,  # (T, OUT_ROWS, PIX): rows 0..2 dL/dC, 3 dL/dT_final
-    grads_hbm,  # output (NUM_FIELDS, K) per-instance grads
+    grads_hbm,  # output (NUM_FIELDS, grad_cap) per-instance grads
     fbuf,
     gbuf,
     tot_vmem,
@@ -206,10 +227,14 @@ def backward_kernel(
     gsems,
     *,
     tiles_x: int,
+    cap: int,
 ):
     t = pl.program_id(0)
-    start = pl.multiple_of(starts_ref[t], CHUNK)
-    nchunks = counts_ref[t] // CHUNK
+    c0 = chunk0_ref[t]
+    nchunks = nchunks_ref[t]
+    start = starts_ref[t]
+    end = ends_ref[t]
+    gbase = pl.multiple_of(grad_base_ref[t], CHUNK)
     px, py = _pixel_coords(tile_ids_ref[t], tiles_x)
     strict, incl = _tri_matrices()
 
@@ -219,8 +244,9 @@ def backward_kernel(
     g_dma.start()
 
     def dma(slot, ci):
+        base = pl.multiple_of((c0 + ci) * CHUNK, CHUNK)
         return pltpu.make_async_copy(
-            fields_hbm.at[:, pl.ds(start + ci * CHUNK, CHUNK)],
+            fields_hbm.at[:, pl.ds(base, CHUNK)],
             fbuf.at[slot],
             sems.at[slot],
         )
@@ -243,7 +269,7 @@ def backward_kernel(
     def grad_write(slot, ci):
         return pltpu.make_async_copy(
             gbuf.at[slot],
-            grads_hbm.at[:, pl.ds(start + ci * CHUNK, CHUNK)],
+            grads_hbm.at[:, pl.ds(gbase + ci * CHUNK, CHUNK)],
             gsems.at[slot],
         )
 
@@ -257,10 +283,16 @@ def backward_kernel(
 
         dma(ci % 2, ci).wait()
 
+        f = fbuf[ci % 2]
+        seg = _range_mask((c0 + ci) * CHUNK, start, end)
+        # pre-sort slot tag row: this tile's lanes keep their slot, foreign
+        # lanes get the >= cap sentinel so the reduction sort drops them
+        presort_row = jnp.where(seg, f[PRESORT_ROW : PRESORT_ROW + 1, :],
+                                jnp.float32(cap))
+
         def compute(args):
             gpref, t_carry = args
-            f = fbuf[ci % 2]
-            dx, dy, alpha, mask, capped = _chunk_alpha(f, px, py)
+            dx, dy, alpha, mask, capped = _chunk_alpha(f, px, py, seg)
             ca = f[2:3, :]
             cb = f[3:4, :]
             cc = f[4:5, :]
@@ -320,7 +352,8 @@ def backward_kernel(
                     colsum(g_cc),
                     colsum(g_op_pix),
                     g_rgb,
-                    jnp.zeros((NUM_FIELDS - 9, CHUNK), jnp.float32),
+                    presort_row,
+                    jnp.zeros((NUM_FIELDS - PRESORT_ROW - 1, CHUNK), jnp.float32),
                 ],
                 axis=0,
             )
@@ -332,8 +365,17 @@ def backward_kernel(
 
         def skip(args):
             gpref, t_carry = args
-            # saturated: all remaining instances are dead; write zero grads
-            return gpref, t_carry, jnp.zeros((NUM_FIELDS, CHUNK), jnp.float32)
+            # saturated: all remaining instances are dead; zero grads, but
+            # the presort tags must still be written for the reduction sort
+            gout = jnp.concatenate(
+                [
+                    jnp.zeros((PRESORT_ROW, CHUNK), jnp.float32),
+                    presort_row,
+                    jnp.zeros((NUM_FIELDS - PRESORT_ROW - 1, CHUNK), jnp.float32),
+                ],
+                axis=0,
+            )
+            return gpref, t_carry, gout
 
         gpref, t_carry, gout = jax.lax.cond(done, skip, compute, (gpref, t_carry))
         done = jnp.max(t_carry) < EXIT_T

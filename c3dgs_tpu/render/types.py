@@ -33,6 +33,11 @@ class RasterSettings:
     instance_capacity: int = 0  # 0 => auto: 8 * num_gaussians
     # cap on tiles a single gaussian may occupy (static scatter width)
     max_tiles_per_gaussian: int = 0  # 0 => auto: full tile grid, capped at 256
+    # capacity of the per-instance gradient buffer (128-aligned chunk cover
+    # of every tile's unpadded segment); 0 => the always-sufficient bound
+    # cap + 2*CHUNK*num_tiles. The adaptive policy tightens it (the backward
+    # reduction sort scales with it); grad_overflow is counted when exceeded.
+    grad_capacity: int = 0
 
     @property
     def focal_x(self) -> float:
@@ -56,10 +61,20 @@ class RasterSettings:
 
     def resolve_caps(self, num_gaussians: int) -> Tuple[int, int]:
         inst = self.instance_capacity or max(1024, 8 * num_gaussians)
+        # round to the 128-chunk grain: the staged fields array is read by
+        # the kernels in aligned 128-lane chunks
+        inst = (inst + 127) // 128 * 128
         # gather-based binning makes large per-gaussian fanouts free; the
         # cap only exists as an explicit user knob
         mtpg = self.max_tiles_per_gaussian or self.num_tiles
         return inst, mtpg
+
+    def resolve_grad_cap(self, num_gaussians: int) -> int:
+        if self.grad_capacity:
+            return (self.grad_capacity + 127) // 128 * 128
+        cap, _ = self.resolve_caps(num_gaussians)
+        # safe bound: each tile's chunk cover wastes < 2*CHUNK lanes
+        return cap + 2 * 128 * self.num_tiles
 
 
 def settings_from_intrinsic(intrinsic, **kw) -> RasterSettings:

@@ -196,6 +196,8 @@ def train_step(
         "psnr": L.psnr(out["render"], gt_image)[0, 0],
         "num_instances": out["num_instances"],
         "overflow": out["overflow"],
+        "grad_total": out["grad_total"],
+        "grad_overflow": out["grad_overflow"],
     }
     return new_state, metrics
 

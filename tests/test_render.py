@@ -63,10 +63,23 @@ def test_binning_consistency():
     assert int(b.clipped) == 0
     # total emitted instances == sum of tiles_touched
     assert int(b.num_instances) == int(np.asarray(prep.tiles_touched).sum())
-    # valid count matches num_instances
-    assert int(np.asarray(b.instance_valid).sum()) == int(b.num_instances)
-    # segments CHUNK-aligned
-    assert (np.asarray(b.tile_counts) % 128 == 0).all()
+    starts, ends = np.asarray(b.starts), np.asarray(b.ends)
+    chunk0, nchunks = np.asarray(b.chunk0), np.asarray(b.nchunks)
+    # unpadded segments tile the sorted array, one sentinel row between them
+    assert starts[0] == 0
+    assert (starts[1:] == ends[:-1] + 1).all()
+    assert (ends >= starts).all()
+    assert int((ends - starts).sum()) == int(b.num_instances)
+    # every real instance's segment is covered by its tile's chunk range
+    ne = ends > starts
+    assert (chunk0[ne] * 128 <= starts[ne]).all()
+    assert ((chunk0[ne] + nchunks[ne]) * 128 >= ends[ne]).all()
+    assert (nchunks[~ne] == 0).all()
+    # grad layout: disjoint 128-aligned per-tile regions
+    grad_base = np.asarray(b.grad_base)
+    assert (grad_base % 128 == 0).all()
+    assert (np.diff(grad_base) == nchunks[:-1] * 128).all()
+    assert int(b.grad_total) == int(nchunks.sum()) * 128
 
 
 @pytest.mark.parametrize("use_sh", [False, True])
