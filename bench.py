@@ -77,15 +77,18 @@ def main():
         from c3dgs_tpu.train import trainer as _tr
 
         probe = jax.jit(
-            lambda: _tr.render_scene(
-                scene, ev, settings, bg
-            )["num_instances"]
+            lambda: (
+                lambda o: (o["num_instances"], o["grad_total"])
+            )(_tr.render_scene(scene, ev, settings, bg))
         )()
-        need = int(probe)
-        policy = CapacityPolicy(initial=int(need * 1.3))
+        need, grad_need = int(probe[0]), int(probe[1])
+        policy = CapacityPolicy(
+            initial=int(need * 1.3), grad_initial=int(grad_need * 1.1)
+        )
         settings = policy.apply(settings)
         print(
-            f"# instances={need} -> capacity bucket {settings.instance_capacity}",
+            f"# instances={need} -> capacity bucket {settings.instance_capacity};"
+            f" grad_total={grad_need} -> {settings.grad_capacity}",
             flush=True,
         )
 

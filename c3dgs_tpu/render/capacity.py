@@ -25,24 +25,44 @@ class CapacityPolicy:
         initial: int = 1 << 21,
         headroom: float = 1.3,
         shrink_patience: int = 50,
+        grad_initial: int = 0,
     ):
         self.capacity = max(_bucket(initial), MIN_CAPACITY)
         self.headroom = headroom
         self.shrink_patience = shrink_patience
         self._low_count = 0
+        # per-instance GRADIENT buffer capacity. 0 = the always-sufficient
+        # static bound (cap + 2*CHUNK*num_tiles, types.resolve_grad_cap),
+        # which at 1080p is ~2x larger than any real frame needs — and the
+        # backward reduction sort scales with it. Once a frame reports its
+        # true grad_total, the bucketed tight value takes over.
+        self.grad_capacity = max(_bucket(grad_initial), MIN_CAPACITY) if grad_initial else 0
+        self._grad_low = 0
 
     def apply(self, settings: RasterSettings) -> RasterSettings:
-        return dataclasses.replace(settings, instance_capacity=self.capacity)
+        return dataclasses.replace(
+            settings,
+            instance_capacity=self.capacity,
+            grad_capacity=self.grad_capacity,
+        )
 
-    def update(self, num_instances: int, overflow: int) -> bool:
-        """Feed one frame's stats. Returns True if the frame overflowed and
+    def update(
+        self,
+        num_instances: int,
+        overflow: int,
+        grad_total: int | None = None,
+        grad_overflow: int = 0,
+    ) -> bool:
+        """Feed one frame's stats. Returns True if the frame overflowed
+        (instances dropped, or grad writes clamped into the last chunk) and
         should be re-rendered at the new (grown) capacity."""
+        rerender = False
         need = int(num_instances * self.headroom)
         if overflow > 0 or need > self.capacity:
             self.capacity = max(_bucket(max(need, self.capacity + 1)), MIN_CAPACITY)
             self._low_count = 0
-            return overflow > 0
-        if need < self.capacity * 3 // 4 and self.capacity > MIN_CAPACITY:
+            rerender = overflow > 0
+        elif need < self.capacity * 3 // 4 and self.capacity > MIN_CAPACITY:
             self._low_count += 1
             if self._low_count >= self.shrink_patience:
                 e = max(int(self.capacity).bit_length() - 4, 0)
@@ -50,7 +70,28 @@ class CapacityPolicy:
                 self._low_count = 0
         else:
             self._low_count = 0
-        return False
+
+        if grad_total is not None:
+            need_g = max(int(grad_total * self.headroom), MIN_CAPACITY)
+            if grad_overflow > 0 or (
+                self.grad_capacity and need_g > self.grad_capacity
+            ):
+                self.grad_capacity = _bucket(max(need_g, self.grad_capacity + 1))
+                self._grad_low = 0
+                rerender = rerender or grad_overflow > 0
+            elif self.grad_capacity == 0:
+                self.grad_capacity = _bucket(need_g)
+            elif need_g < self.grad_capacity * 3 // 4:
+                self._grad_low += 1
+                if self._grad_low >= self.shrink_patience:
+                    e = max(int(self.grad_capacity).bit_length() - 4, 0)
+                    self.grad_capacity = max(
+                        self.grad_capacity - (1 << e), MIN_CAPACITY
+                    )
+                    self._grad_low = 0
+            else:
+                self._grad_low = 0
+        return rerender
 
 
 def _bucket(x: int) -> int:

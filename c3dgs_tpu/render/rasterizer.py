@@ -96,7 +96,9 @@ def _blend_backward_call(
     totals,
     gout,
 ):
-    kernel = functools.partial(tiles.backward_kernel, tiles_x=tiles_x, cap=cap)
+    kernel = functools.partial(
+        tiles.backward_kernel, tiles_x=tiles_x, cap=cap, grad_cap=grad_cap
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(num_tiles,),
@@ -130,10 +132,10 @@ def _reduce_instance_grads(
     """(NUM_FIELDS, grad_cap) per-instance grads -> (N, NUM_FIELDS)
     per-gaussian grads.
 
-    Deterministic, scatter-free: ONE multi-payload sort keyed on the
-    pre-sort slot (row PRESORT_ROW; gaussian-major emission order) brings
-    grads to gaussian-contiguous order; per-gaussian sums are prefix-sum
-    differences at the emission boundaries. Rows outside the
+    Deterministic, scatter-free: ONE (key, position) sort on the pre-sort
+    slot (row PRESORT_ROW; gaussian-major emission order) followed by one
+    row gather brings grads to gaussian-contiguous order; per-gaussian sums
+    are prefix-sum differences at the emission boundaries. Rows outside the
     [grad_lo, grad_hi) coverage are uninitialized memory (other devices'
     tiles under tile sharding) and are keyed to the >= cap sentinel; the
     kernels already sentinel-tag (and zero) foreign/dead lanes inside
@@ -160,15 +162,21 @@ def _reduce_instance_grads(
     covered = (pos >= grad_lo) & (pos < grad_hi)
     key = jnp.where(covered, grads[PRESORT_ROW].astype(jnp.int32), cap)
     key = jnp.where((key >= 0) & (key < cap), key, cap)
-    cols = tuple(jnp.where(covered, grads[j], 0.0) for j in range(live))
-    sorted_cols = jax.lax.sort((key,) + cols, num_keys=1, is_stable=True)
-    d_pre = _ob(
-        jnp.stack([c[:cap] for c in sorted_cols[1:]], axis=1)
-    )  # (cap, live) gaussian-major; tail rows (key >= cap) have zero cols
-    # or sit at positions past every boundary read below
+    # sort only (key, position); the grad columns are brought into sorted
+    # order afterward by ONE row gather (grads transposed row-major first).
+    # Carrying all `live` columns through the sort as payloads costs ~2x
+    # more (measured): sort data movement scales with payload width, while
+    # a (cap, NUM_FIELDS) row gather is ~7ns/row regardless of width.
+    key_s, idx_s = jax.lax.sort((key, pos), num_keys=1, is_stable=True)
+    rows_all = _ob(grads.T)  # (grad_cap, NUM_FIELDS), bandwidth-cheap
+    key_c = key_s[:cap]
+    d_pre = _ob(rows_all[idx_s[:cap]])[:, :live]  # (cap, live) gaussian-major
+    # rows keyed >= cap (uncovered / sentinel-tagged / dead lanes) may hold
+    # garbage; they sort to the tail but can still land inside [0, cap)
+    d_pre = jnp.where((key_c < cap)[:, None], d_pre, 0.0)
     cs = _ob(jnp.cumsum(d_pre, axis=0))  # (cap, live)
     if partial_coverage:
-        end_pos = _rank_in_sorted(sorted_cols[0][:cap], emit_cum - 1)
+        end_pos = _rank_in_sorted(key_c, emit_cum - 1)
     else:
         end_pos = emit_cum  # boundary COUNTS, nondecreasing
     cs_end = jnp.where(

@@ -228,6 +228,7 @@ def backward_kernel(
     *,
     tiles_x: int,
     cap: int,
+    grad_cap: int,
 ):
     t = pl.program_id(0)
     c0 = chunk0_ref[t]
@@ -267,9 +268,15 @@ def backward_kernel(
     g_tfin_term = (g_tfin * t_final).T  # (PIX, 1)
 
     def grad_write(slot, ci):
+        # clamp into the last chunk when the adaptive grad capacity is
+        # undersized (grad_overflow is reported; the policy re-renders) —
+        # never write out of bounds. Both operands are CHUNK-multiples.
+        off = pl.multiple_of(
+            jnp.minimum(gbase + ci * CHUNK, grad_cap - CHUNK), CHUNK
+        )
         return pltpu.make_async_copy(
             gbuf.at[slot],
-            grads_hbm.at[:, pl.ds(gbase + ci * CHUNK, CHUNK)],
+            grads_hbm.at[:, pl.ds(off, CHUNK)],
             gsems.at[slot],
         )
 

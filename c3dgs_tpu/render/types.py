@@ -12,7 +12,7 @@ from typing import Tuple
 
 import jax
 
-TILE_X = 16  # pixels per tile, x (reference config.h:16)
+TILE_X = 32  # pixels per tile, x (reference config.h:16 uses 16; 32 wins on TPU)
 TILE_Y = 16  # pixels per tile, y (reference config.h:17)
 
 

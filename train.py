@@ -66,7 +66,10 @@ def training(model_p, opt_p, pipe_p, save_epochs=(), quantization=True):
                 spatial_lr_scale,
             )
             if capacity.update(
-                int(metrics["num_instances"]), int(metrics["overflow"])
+                int(metrics["num_instances"]),
+                int(metrics["overflow"]),
+                int(metrics["grad_total"]),
+                int(metrics["grad_overflow"]),
             ):
                 # this frame trained with clipped instances (overflow is a
                 # soft degradation, not an error); subsequent frames render
