@@ -46,7 +46,7 @@ def _local_blend_tiles(prep, settings: RasterSettings, n_tiles_axis: int):
     """Per-device piece: bin (all tiles, replicated), then blend only this
     device's tile slice. Returns the local (T_local, OUT_ROWS, PIX) block."""
     binning = bin_gaussians(jax.lax.stop_gradient(prep), settings)
-    table = per_gaussian_table(prep)
+    table = per_gaussian_table(prep, binning.offset)
     n = prep.mean2d.shape[0]
     cap, _ = settings.resolve_caps(n)
     grad_cap = settings.resolve_grad_cap(n)
@@ -76,10 +76,11 @@ def _local_blend_tiles(prep, settings: RasterSettings, n_tiles_axis: int):
         cap,
         grad_cap,
         True,
+        settings.fast_grad,
         table,
         (
             binning.gid_sorted,
-            binning.presort,
+            binning.j_sorted,
             sl(starts),
             sl(ends),
             sl(chunk0),

@@ -42,9 +42,10 @@ from .preprocess import Preprocessed
 from .types import RasterSettings
 
 CHUNK = 128  # gaussians per kernel inner step; chunk/grad alignment
-NUM_FIELDS = 16  # instance field rows (10 used, padded for lane alignment)
+NUM_FIELDS = 16  # instance field rows (11 used, padded for lane alignment)
 NUM_USED_FIELDS = 9  # x, y, conic(3), opacity, rgb(3)
 PRESORT_ROW = 9  # field row carrying the pre-sort slot (exact in f32)
+OFFSET_ROW = 10  # table column carrying each gaussian's first emission slot
 
 _ob = jax.lax.optimization_barrier
 
@@ -72,24 +73,33 @@ def quantize_depth(depth, alive, num_tiles: int):
 
 
 def _rank_in_sorted(boundaries: jax.Array, queries: jax.Array) -> jax.Array:
-    """#{boundaries <= q} for every q, where BOTH inputs are ascending.
+    """#{boundaries <= q} for every q, where BOTH inputs are ascending and
+    non-negative with values < 2^30.
 
     Equivalent to jnp.searchsorted(..., side='right') but far faster on
-    TPU: two stable sorts + a cumsum (searchsorted's binary-search loop
-    lowers terribly at 1e6 queries — ~100ms measured where sorts take ~3ms).
+    TPU (searchsorted's binary-search loop lowers terribly at 1e6 queries —
+    ~100ms measured where sorts take ~3ms). Two single-key PACKED sorts
+    (payload columns cost as much as the key column, so everything rides
+    the low bits of one int32):
+
+      1. sort (value*2 | is_query): boundaries order before equal queries
+         (side='right'). A query's merged position p then satisfies
+         p = #{boundaries <= q} + #{queries before it}, and since queries
+         are ascending, #{queries before query j} = j.
+      2. sort (is_query << 30 | position) to read each query's position
+         back in query order; ranks[j] = p_j - j.
     """
     n = boundaries.shape[0]
     k = queries.shape[0]
     vals = jnp.concatenate([boundaries.astype(jnp.int32), queries])
-    # tag: 1 for boundaries, 0 for queries; boundaries come first so stable
-    # sorting puts equal boundary values before queries => side='right'
-    tag = jnp.concatenate([jnp.ones(n, jnp.int32), jnp.zeros(k, jnp.int32)])
-    _, tag_s = jax.lax.sort((vals, tag), num_keys=1, is_stable=True)
-    prefix = jnp.cumsum(tag_s)
-    # compact query entries back to the front in their original (ascending)
-    # order: sort by tag (queries=0 first); stability preserves order
-    _, ranks = jax.lax.sort((tag_s, prefix), num_keys=1, is_stable=True)
-    return _ob(ranks[:k].astype(jnp.int32))
+    isq = jnp.concatenate([jnp.zeros(n, jnp.int32), jnp.ones(k, jnp.int32)])
+    (packed_s,) = jax.lax.sort((vals * 2 + isq,), num_keys=1, is_stable=False)
+    pos = jnp.arange(n + k, dtype=jnp.int32)
+    (packed2_s,) = jax.lax.sort(
+        (((packed_s & 1) << 30) | pos,), num_keys=1, is_stable=False
+    )
+    pos_q = packed2_s[n:] & ((1 << 30) - 1)
+    return _ob(pos_q - jnp.arange(k, dtype=jnp.int32))
 
 
 def _row_gather(table: jax.Array, idx: jax.Array) -> jax.Array:
@@ -106,7 +116,10 @@ class Binning(NamedTuple):
     """
 
     gid_sorted: jax.Array  # (cap,) int32 source gaussian per sorted slot
-    presort: jax.Array  # (cap,) int32 pre-sort slot, or >= cap for sentinels
+    # (clamped to n-1 for sentinel/invalid rows — safe to gather with)
+    j_sorted: jax.Array  # (cap,) int32 within-gaussian tile index; the
+    # pre-sort slot is offset[gid] + j, recomputed during field staging
+    # from the table's OFFSET_ROW column (saves a sort payload here)
     starts: jax.Array  # (T,) int32 first sorted slot of each tile (unpadded)
     ends: jax.Array  # (T,) int32 one-past-last sorted slot (unpadded)
     chunk0: jax.Array  # (T,) int32 first 128-aligned chunk covering the tile
@@ -114,6 +127,7 @@ class Binning(NamedTuple):
     grad_base: jax.Array  # (T,) int32 128-aligned grad-buffer offset
     grad_total: jax.Array  # () int32 total grad slots written
     emit_cum: jax.Array  # (N,) int32 inclusive prefix of per-gaussian emits
+    offset: jax.Array  # (N,) int32 first emission slot (emit_cum - emit)
     num_instances: jax.Array  # () int32 true emitted instances
     overflow: jax.Array  # () int32 instances dropped (capacity)
     grad_overflow: jax.Array  # () int32 grad slots beyond grad capacity
@@ -127,6 +141,14 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> Binning:
     grad_cap = settings.resolve_grad_cap(n)
     num_tiles = settings.num_tiles
     tiles_x = settings.tiles_x
+
+    # the sort payload packs (gid, within-gaussian tile index j) into one
+    # int32: gid (incl. n..n+T-1 sentinel ids) in the high bits, j below.
+    # j_bits caps tiles-per-gaussian (counted in `clipped` when it binds;
+    # >= 12 bits whenever n + T <= 2^19, and trained splats touch ~4-6).
+    gid_bits = int(n + num_tiles).bit_length()
+    j_bits = 31 - gid_bits
+    max_tiles = min(max_tiles, 1 << j_bits)
 
     tiles_touched = prep.tiles_touched
     emit = jnp.minimum(tiles_touched, max_tiles)
@@ -183,25 +205,35 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> Binning:
     ).astype(jnp.int32)
     t_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     sent_key = ((t_ids.astype(jnp.uint32) << db) | levels).astype(jnp.int32)
-    # pre-sort slot payload: real rows get their emission slot; sentinels get
-    # cap + tile so both the sentinel flag and the tile id survive the sort
+    # ONE packed payload: (gid << j_bits) | j. Sentinels carry gid = n + t;
+    # invalid tail rows carry gid = n + T (their keys sort past everything,
+    # and the >= n high bits flag them as non-real alongside sentinels).
     key_all = jnp.concatenate([key, sent_key])
-    gid_all = jnp.concatenate([jnp.where(valid, gid_safe, 0), t_ids * 0])
-    presort_all = jnp.concatenate([slots, cap + t_ids])
+    pj = (gid_safe << j_bits) | j
+    pj = jnp.where(valid, pj, (n + num_tiles) << j_bits)
+    pj_all = jnp.concatenate([pj, (n + t_ids) << j_bits])
 
-    _, gid_s, presort_s = jax.lax.sort(
-        (key_all, gid_all, presort_all), num_keys=1, is_stable=True
-    )
-    gid_s = _ob(gid_s[:cap])
-    presort_s = _ob(presort_s[:cap])
+    # lexicographic (key, pj) with pj unique and ascending in emission
+    # order == stable-by-key, without the hidden iota tiebreaker a stable
+    # sort materializes
+    _, pj_s = jax.lax.sort((key_all, pj_all), num_keys=2, is_stable=False)
+    pj_s = _ob(pj_s[:cap])
+    gid_s = jnp.minimum(pj_s >> j_bits, n - 1)
+    j_s = pj_s & ((1 << j_bits) - 1)
+    is_sent = pj_s >= (n << j_bits)
 
-    # ---- tile ranges from sentinel positions: one key+payload sort over
-    # cap rows; sentinel of tile t sorts to position t of the result.
-    sent_rank = jnp.where(presort_s >= cap, presort_s - cap, num_tiles)
-    _, sent_pos = jax.lax.sort(
-        (sent_rank, jnp.arange(cap, dtype=jnp.int32)), num_keys=1, is_stable=True
+    # ---- tile ranges from sentinel positions: the main sort already put
+    # sentinels in tile order (their keys ascend with tile), so compacting
+    # their positions to the front — one single-key packed sort (sentinel
+    # positions keep their low bits, non-sentinels get bit 24) — yields
+    # ends[t] directly. Requires cap < 2^24 (16.7M instances).
+    pos_c = jnp.arange(cap, dtype=jnp.int32)
+    (sent_packed,) = jax.lax.sort(
+        (jnp.where(is_sent, pos_c, (1 << 24) | pos_c),),
+        num_keys=1,
+        is_stable=False,
     )
-    ends = _ob(sent_pos[:num_tiles])  # position of tile t's sentinel
+    ends = _ob(sent_packed[:num_tiles] & ((1 << 24) - 1))
     starts = jnp.concatenate([jnp.zeros(1, jnp.int32), ends[:-1] + 1])
     counts = ends - starts
 
@@ -217,7 +249,7 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> Binning:
 
     return Binning(
         gid_sorted=gid_s,
-        presort=presort_s,
+        j_sorted=j_s,
         starts=starts.astype(jnp.int32),
         ends=ends.astype(jnp.int32),
         chunk0=chunk0.astype(jnp.int32),
@@ -225,6 +257,7 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> Binning:
         grad_base=grad_base,
         grad_total=grad_total.astype(jnp.int32),
         emit_cum=cum.astype(jnp.int32),
+        offset=(cum - emit).astype(jnp.int32),
         num_instances=total.astype(jnp.int32),
         overflow=overflow.astype(jnp.int32),
         grad_overflow=grad_overflow.astype(jnp.int32),
@@ -232,19 +265,23 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> Binning:
     )
 
 
-def per_gaussian_table(prep: Preprocessed) -> jax.Array:
+def per_gaussian_table(prep: Preprocessed, offset: jax.Array) -> jax.Array:
     """(N, NUM_FIELDS) differentiable per-gaussian field table consumed by
     rasterizer.blend_gaussians. Cols: 0 x, 1 y, 2..4 conic, 5 opacity,
-    6..8 rgb; the rest are zero (col PRESORT_ROW is overwritten per
-    instance after staging)."""
+    6..8 rgb, OFFSET_ROW the (non-diff) first emission slot from binning
+    (exact in f32 for caps < 2^24); the rest are zero (col PRESORT_ROW is
+    filled per instance as offset + j after staging)."""
     n = prep.mean2d.shape[0]
+    off = jax.lax.stop_gradient(offset).astype(prep.mean2d.dtype)
     table = jnp.concatenate(
         [
             prep.mean2d,
             prep.conic,
             prep.opacity[:, None],
             prep.color,
-            jnp.zeros((n, NUM_FIELDS - NUM_USED_FIELDS), prep.mean2d.dtype),
+            jnp.zeros((n, OFFSET_ROW - NUM_USED_FIELDS), prep.mean2d.dtype),
+            off[:, None],
+            jnp.zeros((n, NUM_FIELDS - OFFSET_ROW - 1), prep.mean2d.dtype),
         ],
         axis=1,
     )

@@ -32,6 +32,7 @@ from .binning import (
     CHUNK,
     NUM_FIELDS,
     NUM_USED_FIELDS,
+    OFFSET_ROW,
     PRESORT_ROW,
     Binning,
     _rank_in_sorted,
@@ -44,12 +45,17 @@ from .types import TILE_X, TILE_Y, RasterSettings
 _ob = jax.lax.optimization_barrier
 
 
-def _build_fields(table: jax.Array, gid_sorted: jax.Array, presort: jax.Array):
+def _build_fields(table: jax.Array, gid_sorted: jax.Array, j_sorted: jax.Array):
     """(N, NUM_FIELDS) per-gaussian table -> (NUM_FIELDS, cap) staged
-    instance fields in sorted unpadded order, with the pre-sort slot in row
-    PRESORT_ROW (exact in f32 for caps < 2^24)."""
+    instance fields in sorted unpadded order. The pre-sort slot
+    (offset[gid] + j, exact in f32 for caps < 2^24) is assembled into row
+    PRESORT_ROW from the table's OFFSET_ROW column, so the binning sort
+    only carries one packed payload. Sentinel/invalid rows get a real
+    gaussian's fields (gid clamped) — harmless, since the kernels mask
+    every lane outside its tile's [start, end) segment."""
     rows = _ob(table[gid_sorted])  # (cap, NUM_FIELDS) ONE row gather
-    rows = rows.at[:, PRESORT_ROW].set(presort.astype(jnp.float32))
+    presort = rows[:, OFFSET_ROW] + j_sorted.astype(jnp.float32)
+    rows = rows.at[:, PRESORT_ROW].set(presort)
     return rows.T
 
 
@@ -86,6 +92,7 @@ def _blend_backward_call(
     num_tiles: int,
     cap: int,
     grad_cap: int,
+    fast_grad: bool,
     fields,
     tile_ids,
     starts,
@@ -97,7 +104,11 @@ def _blend_backward_call(
     gout,
 ):
     kernel = functools.partial(
-        tiles.backward_kernel, tiles_x=tiles_x, cap=cap, grad_cap=grad_cap
+        tiles.backward_kernel,
+        tiles_x=tiles_x,
+        cap=cap,
+        grad_cap=grad_cap,
+        fast_grad=fast_grad,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -167,7 +178,9 @@ def _reduce_instance_grads(
     # Carrying all `live` columns through the sort as payloads costs ~2x
     # more (measured): sort data movement scales with payload width, while
     # a (cap, NUM_FIELDS) row gather is ~7ns/row regardless of width.
-    key_s, idx_s = jax.lax.sort((key, pos), num_keys=1, is_stable=True)
+    # (key, pos) lexicographic with pos unique == stable-by-key, minus the
+    # hidden iota a stable sort adds
+    key_s, idx_s = jax.lax.sort((key, pos), num_keys=2, is_stable=False)
     rows_all = _ob(grads.T)  # (grad_cap, NUM_FIELDS), bandwidth-cheap
     key_c = key_s[:cap]
     d_pre = _ob(rows_all[idx_s[:cap]])[:, :live]  # (cap, live) gaussian-major
@@ -191,13 +204,14 @@ def _reduce_instance_grads(
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def blend_gaussians(
     tiles_x: int,
     num_tiles: int,
     cap: int,
     grad_cap: int,
     partial_coverage: bool,
+    fast_grad: bool,
     table,
     bookkeeping,
     tile_ids,
@@ -207,19 +221,19 @@ def blend_gaussians(
     (no background), row 3 final transmittance.
 
     table: (N, NUM_FIELDS) differentiable per-gaussian fields.
-    bookkeeping: tuple (gid_sorted, presort, starts, ends, chunk0, nchunks,
+    bookkeeping: tuple (gid_sorted, j_sorted, starts, ends, chunk0, nchunks,
       grad_base, emit_cum) — `starts..grad_base` sliced per device when the
-      tile grid is sharded; gid_sorted/presort/emit_cum always global.
+      tile grid is sharded; gid_sorted/j_sorted/emit_cum always global.
     partial_coverage: True when this call blends only a slice of the tile
       grid (tile sharding), so the VJP must recover per-device gaussian
       boundaries instead of using the global emit_cum.
     tile_ids maps grid index -> global tile id (identity when unsharded).
     grad_range: (lo, hi) coverage of this call's grad writes.
     """
-    gid_sorted, presort, starts, ends, chunk0, nchunks, grad_base, emit_cum = (
+    gid_sorted, j_sorted, starts, ends, chunk0, nchunks, grad_base, emit_cum = (
         bookkeeping
     )
-    fields = _build_fields(table, gid_sorted, presort)
+    fields = _build_fields(table, gid_sorted, j_sorted)
     return _blend_forward_call(
         tiles_x, num_tiles, fields, tile_ids, starts, ends, chunk0, nchunks
     )
@@ -231,15 +245,16 @@ def _blend_fwd(
     cap,
     grad_cap,
     partial_coverage,
+    fast_grad,
     table,
     bookkeeping,
     tile_ids,
     grad_range,
 ):
-    gid_sorted, presort, starts, ends, chunk0, nchunks, grad_base, emit_cum = (
+    gid_sorted, j_sorted, starts, ends, chunk0, nchunks, grad_base, emit_cum = (
         bookkeeping
     )
-    fields = _build_fields(table, gid_sorted, presort)
+    fields = _build_fields(table, gid_sorted, j_sorted)
     out = _blend_forward_call(
         tiles_x, num_tiles, fields, tile_ids, starts, ends, chunk0, nchunks
     )
@@ -247,7 +262,9 @@ def _blend_fwd(
     return out, res
 
 
-def _blend_bwd(tiles_x, num_tiles, cap, grad_cap, partial_coverage, res, g):
+def _blend_bwd(
+    tiles_x, num_tiles, cap, grad_cap, partial_coverage, fast_grad, res, g
+):
     fields, bookkeeping, tile_ids, grad_range, out = res
     _, _, starts, ends, chunk0, nchunks, grad_base, emit_cum = bookkeeping
     grads = _blend_backward_call(
@@ -255,6 +272,7 @@ def _blend_bwd(tiles_x, num_tiles, cap, grad_cap, partial_coverage, res, g):
         num_tiles,
         cap,
         grad_cap,
+        fast_grad,
         fields,
         tile_ids,
         starts,
@@ -316,7 +334,7 @@ def render(
         prep = prep._replace(mean2d=prep.mean2d + viewspace_offset * scale)
 
     binning = bin_gaussians(jax.lax.stop_gradient(prep), settings)
-    table = per_gaussian_table(prep)
+    table = per_gaussian_table(prep, binning.offset)
     n = means3d.shape[0]
     cap, _ = settings.resolve_caps(n)
     grad_cap = settings.resolve_grad_cap(n)
@@ -326,10 +344,11 @@ def render(
         cap,
         grad_cap,
         False,
+        settings.fast_grad,
         table,
         (
             binning.gid_sorted,
-            binning.presort,
+            binning.j_sorted,
             binning.starts,
             binning.ends,
             binning.chunk0,

@@ -73,6 +73,19 @@ def _tri_dot(x, tri):
     return d(hi) + d(lo)
 
 
+def _tri_dot_1pass(x, tri):
+    """Single-pass x @ tri (operand truncated to bf16 by the MXU).
+
+    Used only for the BACKWARD kernel's prefix sums when fast_grad is on:
+    the resulting transmittance/suffix carry <= 2^-9 * |log T| relative
+    error (~0.2% mid-blend, ~2% at the saturation tail) — pure gradient
+    noise under Adam, and no worse a perturbation class than the CUDA
+    reference's nondeterministic atomicAdd ordering + T-by-division
+    (backward.cu:503). The forward image path always uses the exact
+    2-pass split."""
+    return jnp.dot(x, tri, preferred_element_type=jnp.float32)
+
+
 def interpret_mode() -> bool:
     return jax.default_backend() == "cpu"
 
@@ -85,6 +98,36 @@ def _pixel_coords(tile_idx, tiles_x: int):
     px = (tx * TILE_X + lane % TILE_X).astype(jnp.float32)
     py = (ty * TILE_Y + lane // TILE_X).astype(jnp.float32)
     return px, py
+
+
+NUM_MOMENTS = 8  # 1, px, py, px^2, px*py, py^2 (+2 zero rows, MXU tiling)
+
+
+def _moment_basis(pxc, pyc):
+    """(NUM_MOMENTS, PIX) polynomial basis in TILE-CENTERED pixel coords.
+
+    The backward's positional gradients are polynomials in (dx, dy) =
+    (xc - pxc, yc - pyc), so their pixel sums reduce to 6 moments of
+    g_power: one (8, PIX) @ (PIX, CHUNK) matmul replaces six colsum
+    matmuls AND their (PIX, CHUNK) elementwise products. Centered coords
+    keep the quadratic rows small (|pxc| <= TILE/2), so the expansion
+    x^2*S0 - 2x*Sx + Sxx has no catastrophic cancellation: xc ~ dx always
+    (they differ by at most half a tile)."""
+    one = jnp.ones_like(pxc)
+    zero = jnp.zeros_like(pxc)
+    return jnp.concatenate(
+        [one, pxc, pyc, pxc * pxc, pxc * pyc, pyc * pyc, zero, zero], axis=0
+    )
+
+
+def _moments(basis2, gp):
+    """basis @ gp at ~f32 accuracy: the basis operand is split hi/lo (its
+    quadratic rows are not bf16-exact) and both halves are stacked into ONE
+    (2*NUM_MOMENTS, PIX) matmul (K-bound on the MXU, so doubling M is
+    free); gp carries the one-pass bf16 truncation, same error class as
+    the colsum matmuls this replaces."""
+    m = jnp.dot(basis2, gp, preferred_element_type=jnp.float32)
+    return m[:NUM_MOMENTS] + m[NUM_MOMENTS:]
 
 
 def _tri_matrices():
@@ -229,6 +272,7 @@ def backward_kernel(
     tiles_x: int,
     cap: int,
     grad_cap: int,
+    fast_grad: bool,
 ):
     t = pl.program_id(0)
     c0 = chunk0_ref[t]
@@ -238,6 +282,13 @@ def backward_kernel(
     gbase = pl.multiple_of(grad_base_ref[t], CHUNK)
     px, py = _pixel_coords(tile_ids_ref[t], tiles_x)
     strict, incl = _tri_matrices()
+    # tile-centered pixel coords + split moment basis (constant per tile)
+    tid = tile_ids_ref[t]
+    cx = ((tid % tiles_x) * TILE_X).astype(jnp.float32) + (TILE_X - 1) * 0.5
+    cy = ((tid // tiles_x) * TILE_Y).astype(jnp.float32) + (TILE_Y - 1) * 0.5
+    basis = _moment_basis(px - cx, py - cy)
+    basis_hi = basis.astype(jnp.bfloat16).astype(jnp.float32)
+    basis2 = jnp.concatenate([basis_hi, basis - basis_hi], axis=0)
 
     tot_dma = pltpu.make_async_copy(totals_hbm.at[t], tot_vmem, sems.at[2])
     g_dma = pltpu.make_async_copy(gout_hbm.at[t], g_vmem, sems.at[3])
@@ -299,15 +350,16 @@ def backward_kernel(
 
         def compute(args):
             gpref, t_carry = args
-            dx, dy, alpha, mask, capped = _chunk_alpha(f, px, py, seg)
+            _, _, alpha, mask, capped = _chunk_alpha(f, px, py, seg)
             ca = f[2:3, :]
             cb = f[3:4, :]
             cc = f[4:5, :]
             op = f[5:6, :]
             colors = f[6:9, :]  # (3, CHUNK)
 
+            prefix = _tri_dot_1pass if fast_grad else _tri_dot
             tlog = jnp.log1p(-alpha)
-            s_excl = _tri_dot(tlog, strict)
+            s_excl = prefix(tlog, strict)
             t_in = t_carry * jnp.exp(s_excl)
             live = t_in * (1.0 - alpha) >= STOP_T
             w = jnp.where(live, alpha * t_in, 0.0)  # (PIX, CHUNK)
@@ -327,37 +379,45 @@ def backward_kernel(
 
             # inclusive prefix of per-instance contribution dotted with gC
             gwc = w * gc_dot_c  # (PIX, CHUNK)
-            gwc_prefix = _tri_dot(gwc, incl)
+            gwc_prefix = prefix(gwc, incl)
             g_suffix = g_dot_ctotal - gpref - gwc_prefix  # (PIX, CHUNK)
 
             one_m_a = 1.0 - alpha
             g_alpha = direct - (g_suffix + g_tfin_term) / one_m_a
             g_alpha = jnp.where(mask, g_alpha, 0.0)
             g_raw = jnp.where(capped, 0.0, g_alpha)
-            g_op_pix = g_raw * jnp.where(
-                mask, alpha / jnp.maximum(op, 1e-12), 0.0
-            )
             g_power = g_raw * alpha
 
-            g_dx = g_power * (-(ca * dx + cb * dy))
-            g_dy = g_power * (-(cc * dy + cb * dx))
-            g_ca = g_power * (-0.5 * dx * dx)
-            g_cb = g_power * (-dx * dy)
-            g_cc = g_power * (-0.5 * dy * dy)
-
-            ones_row = jnp.ones((1, PIX), jnp.float32)
-
-            def colsum(m):  # (PIX, CHUNK) -> (1, CHUNK), on the MXU
-                return jnp.dot(ones_row, m, preferred_element_type=jnp.float32)
+            # positional grads via pixel moments of g_power (see
+            # _moment_basis): with dx = xc - pxc, every pixel sum below is
+            # a polynomial in the 6 moments and per-instance (1, CHUNK)
+            # rows — one matmul replaces six colsums + their products.
+            m = _moments(basis2, g_power)  # (NUM_MOMENTS, CHUNK)
+            s0, sx, sy = m[0:1], m[1:2], m[2:3]
+            sxx, sxy, syy = m[3:4], m[4:5], m[5:6]
+            xc = f[0:1, :] - cx
+            yc = f[1:2, :] - cy
+            mx = xc * s0 - sx  # sum_p g_power * dx
+            my = yc * s0 - sy
+            mxx = xc * xc * s0 - 2.0 * xc * sx + sxx  # sum g_power * dx^2
+            mxy = xc * yc * s0 - xc * sy - yc * sx + sxy
+            myy = yc * yc * s0 - 2.0 * yc * sy + syy
+            g_x = -(ca * mx + cb * my)
+            g_y = -(cc * my + cb * mx)
+            g_ca = -0.5 * mxx
+            g_cb = -mxy
+            g_cc = -0.5 * myy
+            # g_op_pix = g_power / op pixelwise, so its sum is s0 / op
+            g_op = s0 / jnp.maximum(op, 1e-12)
 
             gout = jnp.concatenate(
                 [
-                    colsum(g_dx),
-                    colsum(g_dy),
-                    colsum(g_ca),
-                    colsum(g_cb),
-                    colsum(g_cc),
-                    colsum(g_op_pix),
+                    g_x,
+                    g_y,
+                    g_ca,
+                    g_cb,
+                    g_cc,
+                    g_op,
                     g_rgb,
                     presort_row,
                     jnp.zeros((NUM_FIELDS - PRESORT_ROW - 1, CHUNK), jnp.float32),

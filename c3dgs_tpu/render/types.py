@@ -38,6 +38,10 @@ class RasterSettings:
     # cap + 2*CHUNK*num_tiles. The adaptive policy tightens it (the backward
     # reduction sort scales with it); grad_overflow is counted when exceeded.
     grad_capacity: int = 0
+    # single-pass bf16 prefix matmuls in the BACKWARD kernel only: <= 0.2%
+    # typical gradient noise (see tiles._tri_dot_1pass) for 2 fewer MXU
+    # passes per chunk. The forward image is always computed exactly.
+    fast_grad: bool = True
 
     @property
     def focal_x(self) -> float:
