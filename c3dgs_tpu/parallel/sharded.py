@@ -57,7 +57,6 @@ def _local_blend_tiles(prep, settings: RasterSettings, n_tiles_axis: int):
     pad = t_pad - t_total
     starts = jnp.pad(binning.starts, (0, pad))
     ends = jnp.pad(binning.ends, (0, pad))  # start == end: empty tile
-    chunk0 = jnp.pad(binning.chunk0, (0, pad))
     nchunks = jnp.pad(binning.nchunks, (0, pad))
     # one-past table so each slice knows its grad coverage end
     grad_base_ext = jnp.concatenate(
@@ -83,7 +82,6 @@ def _local_blend_tiles(prep, settings: RasterSettings, n_tiles_axis: int):
             binning.j_sorted,
             sl(starts),
             sl(ends),
-            sl(chunk0),
             sl(nchunks),
             sl(grad_base_ext[:-1]),
             binning.emit_cum,

@@ -122,8 +122,9 @@ class Binning(NamedTuple):
     # from the table's OFFSET_ROW column (saves a sort payload here)
     starts: jax.Array  # (T,) int32 first sorted slot of each tile (unpadded)
     ends: jax.Array  # (T,) int32 one-past-last sorted slot (unpadded)
-    chunk0: jax.Array  # (T,) int32 first 128-aligned chunk covering the tile
-    nchunks: jax.Array  # (T,) int32 chunks covering [start, end)
+    nchunks: jax.Array  # (T,) int32 ceil(count/CHUNK) kernel iterations (the
+    # kernels window-shift the unaligned segment, so every iteration holds
+    # CHUNK real instances; no boundary-chunk cover)
     grad_base: jax.Array  # (T,) int32 128-aligned grad-buffer offset
     grad_total: jax.Array  # () int32 total grad slots written
     emit_cum: jax.Array  # (N,) int32 inclusive prefix of per-gaussian emits
@@ -237,10 +238,9 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> Binning:
     starts = jnp.concatenate([jnp.zeros(1, jnp.int32), ends[:-1] + 1])
     counts = ends - starts
 
-    # ---- 128-aligned chunk cover of each unpadded segment + grad layout
-    chunk0 = starts // CHUNK
-    last_chunk = jnp.where(counts > 0, (ends - 1) // CHUNK, chunk0 - 1)
-    nchunks = jnp.maximum(last_chunk - chunk0 + 1, 0)
+    # ---- kernel iteration counts + grad layout: one CHUNK window per
+    # CHUNK real instances (the kernels roll-shift the unaligned segment)
+    nchunks = (counts + CHUNK - 1) // CHUNK
     grad_base = (
         (jnp.cumsum(nchunks) - nchunks).astype(jnp.int32) * CHUNK
     )
@@ -252,7 +252,6 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> Binning:
         j_sorted=j_s,
         starts=starts.astype(jnp.int32),
         ends=ends.astype(jnp.int32),
-        chunk0=chunk0.astype(jnp.int32),
         nchunks=nchunks.astype(jnp.int32),
         grad_base=grad_base,
         grad_total=grad_total.astype(jnp.int32),

@@ -60,11 +60,11 @@ def _build_fields(table: jax.Array, gid_sorted: jax.Array, j_sorted: jax.Array):
 
 
 def _blend_forward_call(
-    tiles_x: int, num_tiles: int, fields, tile_ids, starts, ends, chunk0, nchunks
+    tiles_x: int, num_tiles: int, fields, tile_ids, starts, ends, nchunks
 ):
     kernel = functools.partial(tiles.forward_kernel, tiles_x=tiles_x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=4,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
@@ -73,8 +73,8 @@ def _blend_forward_call(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, NUM_FIELDS, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((3, NUM_FIELDS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     return pl.pallas_call(
@@ -84,7 +84,7 @@ def _blend_forward_call(
             (num_tiles, tiles.OUT_ROWS, tiles.PIX), jnp.float32
         ),
         interpret=tiles.interpret_mode(),
-    )(tile_ids, starts, ends, chunk0, nchunks, fields)
+    )(tile_ids, starts, ends, nchunks, fields)
 
 
 def _blend_backward_call(
@@ -97,7 +97,6 @@ def _blend_backward_call(
     tile_ids,
     starts,
     ends,
-    chunk0,
     nchunks,
     grad_base,
     totals,
@@ -111,7 +110,7 @@ def _blend_backward_call(
         fast_grad=fast_grad,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=5,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # fields
@@ -120,11 +119,11 @@ def _blend_backward_call(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, NUM_FIELDS, CHUNK), jnp.float32),  # fbuf
+            pltpu.VMEM((3, NUM_FIELDS, CHUNK), jnp.float32),  # fbuf
             pltpu.VMEM((2, NUM_FIELDS, CHUNK), jnp.float32),  # gbuf
             pltpu.VMEM((tiles.OUT_ROWS, tiles.PIX), jnp.float32),  # totals
             pltpu.VMEM((tiles.OUT_ROWS, tiles.PIX), jnp.float32),  # gout
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((5,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -134,7 +133,7 @@ def _blend_backward_call(
         out_shape=jax.ShapeDtypeStruct((NUM_FIELDS, grad_cap), jnp.float32),
         interpret=tiles.interpret_mode(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_ids, starts, ends, chunk0, nchunks, grad_base, fields, totals, gout)
+    )(tile_ids, starts, ends, nchunks, grad_base, fields, totals, gout)
 
 
 def _reduce_instance_grads(
@@ -221,7 +220,7 @@ def blend_gaussians(
     (no background), row 3 final transmittance.
 
     table: (N, NUM_FIELDS) differentiable per-gaussian fields.
-    bookkeeping: tuple (gid_sorted, j_sorted, starts, ends, chunk0, nchunks,
+    bookkeeping: tuple (gid_sorted, j_sorted, starts, ends, nchunks,
       grad_base, emit_cum) — `starts..grad_base` sliced per device when the
       tile grid is sharded; gid_sorted/j_sorted/emit_cum always global.
     partial_coverage: True when this call blends only a slice of the tile
@@ -230,12 +229,12 @@ def blend_gaussians(
     tile_ids maps grid index -> global tile id (identity when unsharded).
     grad_range: (lo, hi) coverage of this call's grad writes.
     """
-    gid_sorted, j_sorted, starts, ends, chunk0, nchunks, grad_base, emit_cum = (
+    gid_sorted, j_sorted, starts, ends, nchunks, grad_base, emit_cum = (
         bookkeeping
     )
     fields = _build_fields(table, gid_sorted, j_sorted)
     return _blend_forward_call(
-        tiles_x, num_tiles, fields, tile_ids, starts, ends, chunk0, nchunks
+        tiles_x, num_tiles, fields, tile_ids, starts, ends, nchunks
     )
 
 
@@ -251,12 +250,12 @@ def _blend_fwd(
     tile_ids,
     grad_range,
 ):
-    gid_sorted, j_sorted, starts, ends, chunk0, nchunks, grad_base, emit_cum = (
+    gid_sorted, j_sorted, starts, ends, nchunks, grad_base, emit_cum = (
         bookkeeping
     )
     fields = _build_fields(table, gid_sorted, j_sorted)
     out = _blend_forward_call(
-        tiles_x, num_tiles, fields, tile_ids, starts, ends, chunk0, nchunks
+        tiles_x, num_tiles, fields, tile_ids, starts, ends, nchunks
     )
     res = (fields, bookkeeping, tile_ids, grad_range, out)
     return out, res
@@ -266,7 +265,7 @@ def _blend_bwd(
     tiles_x, num_tiles, cap, grad_cap, partial_coverage, fast_grad, res, g
 ):
     fields, bookkeeping, tile_ids, grad_range, out = res
-    _, _, starts, ends, chunk0, nchunks, grad_base, emit_cum = bookkeeping
+    _, _, starts, ends, nchunks, grad_base, emit_cum = bookkeeping
     grads = _blend_backward_call(
         tiles_x,
         num_tiles,
@@ -277,7 +276,6 @@ def _blend_bwd(
         tile_ids,
         starts,
         ends,
-        chunk0,
         nchunks,
         grad_base,
         out,
@@ -351,7 +349,6 @@ def render(
             binning.j_sorted,
             binning.starts,
             binning.ends,
-            binning.chunk0,
             binning.nchunks,
             binning.grad_base,
             binning.emit_cum,

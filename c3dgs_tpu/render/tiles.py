@@ -3,28 +3,28 @@
 The TPU re-design of renderCUDA (forward.cu:270-383) and the backward
 re-rasterization (backward.cu:398-557). The CUDA kernels map one thread to
 one pixel and loop gaussians in shared-memory batches; here one grid program
-owns one 16x16 tile (256 pixels in the lane dimension) and the gaussian loop
-is chunked by CHUNK=128, with the key trick that *compositing itself runs on
-the MXU*:
+owns one TILE_X x TILE_Y tile (PIX pixels in the lane dimension) and the
+gaussian loop is chunked by CHUNK=128, with the key trick that *compositing
+itself runs on the MXU*:
 
   transmittance  T_i = exp( cumsum_{j<i} log(1-alpha_j) )
-                     -> (256,128) @ strictly-triangular ones (128,128) matmul
-  color          C  += (alpha * T * live) (256,128) @ colors (128,3)
+                     -> (PIX,128) @ strictly-triangular ones (128,128) matmul
+  color          C  += (alpha * T * live) (PIX,128) @ colors (128,3)
 
 Instance data is staged (NUM_FIELDS=16, cap) lane-major in HBM in sorted
-UNPADDED order; each tile's segment [start, end) is covered by 128-aligned
-global chunks and out-of-range lanes are masked to alpha=0 (they belong to
-neighboring tiles or are the tile's sentinel row). This removes the padded
-instance layout entirely — no per-tile alignment gathers ever run.
+UNPADDED order. Each loop iteration assembles a SHIFTED WINDOW of CHUNK
+real instances from the two aligned chunks that cover it (one dynamic lane
+roll — see _window), so per-instance kernel cost never pays for tile
+boundaries; the window tail past the segment count is masked to alpha=0.
 
 The backward needs suffix sums S_i = C_total - prefix_{<=i}; the prefix is
 the *inclusive* triangular matmul — same machinery, so the whole backward
 runs front-to-back (no back-to-front pass like backward.cu:472, and no
-atomics): per-instance grads are written to a separate 128-aligned grad
-buffer at grad_base[t] + chunk*CHUNK (each (tile, chunk) owns its slot —
-race-free even on shared boundary chunks), tagged in row PRESORT_ROW with
-the instance's pre-sort slot. rasterizer.blend_gaussians reduces them to
-per-gaussian grads with one multi-payload sort + prefix-sum differences —
+atomics): per-window grads are written to a 128-aligned grad buffer at
+grad_base[t] + ci*CHUNK (each (tile, window) owns its slot — race-free),
+tagged in row PRESORT_ROW with the instance's pre-sort slot.
+rasterizer.blend_gaussians reduces them to per-gaussian grads with one
+(key, position) sort + row gather + prefix-sum differences —
 deterministic, unlike the reference's atomicAdd accumulation
 (backward.cu:523-554).
 
@@ -140,12 +140,24 @@ def _tri_matrices():
     return strict, incl
 
 
-def _range_mask(base, start, end):
-    """(1, CHUNK) bool: which lanes of the aligned chunk at `base` hold
-    instances of this tile's [start, end) segment."""
+def _count_mask(ci, count):
+    """(1, CHUNK) bool: lanes of window ci holding real instances (the
+    window is shift-aligned to the segment start, so validity is simply
+    ci*CHUNK + lane < count)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-    gpos = base + lane
-    return (gpos >= start) & (gpos < end)
+    return ci * CHUNK + lane < count
+
+
+def _window(fbuf, ci, shift):
+    """Assemble the CHUNK-instance window [start + ci*CHUNK, +CHUNK) of the
+    tile's UNALIGNED segment from the two aligned chunks buffered at slots
+    ci%3 and (ci+1)%3: one dynamic lane roll of the (NUM_FIELDS, 2*CHUNK)
+    concat. This lets every loop iteration process CHUNK *real* instances —
+    without it, shared tile-boundary chunks made ~53% of iterations
+    half-empty (docs/PERF.md)."""
+    f2 = jnp.concatenate([fbuf[ci % 3], fbuf[(ci + 1) % 3]], axis=1)
+    rolled = pltpu.roll(f2, (2 * CHUNK - shift) % (2 * CHUNK), axis=1)
+    return rolled[:, :CHUNK]
 
 
 def _chunk_alpha(f, px, py, seg_mask):
@@ -175,7 +187,6 @@ def forward_kernel(
     tile_ids_ref,
     starts_ref,
     ends_ref,
-    chunk0_ref,
     nchunks_ref,
     fields_hbm,
     out_ref,
@@ -185,38 +196,45 @@ def forward_kernel(
     tiles_x: int,
 ):
     t = pl.program_id(0)
-    c0 = chunk0_ref[t]
-    nchunks = nchunks_ref[t]
     start = starts_ref[t]
-    end = ends_ref[t]
+    count = ends_ref[t] - start
+    niter = nchunks_ref[t]
+    c0 = start // CHUNK
+    shift = start % CHUNK
+    max_chunk = fields_hbm.shape[1] // CHUNK - 1
     px, py = _pixel_coords(tile_ids_ref[t], tiles_x)
     strict, _ = _tri_matrices()
 
-    def dma(slot, ci):
-        base = pl.multiple_of((c0 + ci) * CHUNK, CHUNK)
+    def dma(slot, i):
+        c = jnp.minimum(c0 + i, max_chunk)
         return pltpu.make_async_copy(
-            fields_hbm.at[:, pl.ds(base, CHUNK)],
+            fields_hbm.at[:, pl.ds(pl.multiple_of(c * CHUNK, CHUNK), CHUNK)],
             fbuf.at[slot],
             sems.at[slot],
         )
 
-    @pl.when(nchunks > 0)
+    @pl.when(niter > 0)
     def _():
         dma(0, 0).start()
+        dma(1, 1).start()
 
     def body(ci, carry):
         color, t_carry, done = carry  # (PIX, 3), (PIX, 1), bool
 
-        @pl.when(ci + 1 < nchunks)
+        @pl.when(ci + 2 <= niter)
         def _():
-            dma((ci + 1) % 2, ci + 1).start()
+            dma((ci + 2) % 3, ci + 2).start()
 
-        dma(ci % 2, ci).wait()
+        @pl.when(ci == 0)
+        def _():
+            dma(0, 0).wait()
+
+        dma((ci + 1) % 3, ci + 1).wait()
 
         def compute(args):
             color, t_carry = args
-            f = fbuf[ci % 2]
-            seg = _range_mask((c0 + ci) * CHUNK, start, end)
+            f = _window(fbuf, ci, shift)
+            seg = _count_mask(ci, count)
             _, _, alpha, _, _ = _chunk_alpha(f, px, py, seg)
             tlog = jnp.log1p(-alpha)
             s_excl = _tri_dot(tlog, strict)
@@ -244,7 +262,7 @@ def forward_kernel(
         jnp.ones((PIX, 1), jnp.float32),
         jnp.zeros((), jnp.bool_),
     )
-    color, t_final, _ = jax.lax.fori_loop(0, nchunks, body, init)
+    color, t_final, _ = jax.lax.fori_loop(0, niter, body, init)
 
     out_ref[0] = jnp.concatenate(
         [color.T, t_final.T, jnp.zeros((OUT_ROWS - 4, PIX), jnp.float32)], axis=0
@@ -255,7 +273,6 @@ def backward_kernel(
     tile_ids_ref,
     starts_ref,
     ends_ref,
-    chunk0_ref,
     nchunks_ref,
     grad_base_ref,
     fields_hbm,
@@ -275,10 +292,12 @@ def backward_kernel(
     fast_grad: bool,
 ):
     t = pl.program_id(0)
-    c0 = chunk0_ref[t]
-    nchunks = nchunks_ref[t]
     start = starts_ref[t]
-    end = ends_ref[t]
+    count = ends_ref[t] - start
+    niter = nchunks_ref[t]
+    c0 = start // CHUNK
+    shift = start % CHUNK
+    max_chunk = fields_hbm.shape[1] // CHUNK - 1
     gbase = pl.multiple_of(grad_base_ref[t], CHUNK)
     px, py = _pixel_coords(tile_ids_ref[t], tiles_x)
     strict, incl = _tri_matrices()
@@ -290,22 +309,23 @@ def backward_kernel(
     basis_hi = basis.astype(jnp.bfloat16).astype(jnp.float32)
     basis2 = jnp.concatenate([basis_hi, basis - basis_hi], axis=0)
 
-    tot_dma = pltpu.make_async_copy(totals_hbm.at[t], tot_vmem, sems.at[2])
-    g_dma = pltpu.make_async_copy(gout_hbm.at[t], g_vmem, sems.at[3])
+    tot_dma = pltpu.make_async_copy(totals_hbm.at[t], tot_vmem, sems.at[3])
+    g_dma = pltpu.make_async_copy(gout_hbm.at[t], g_vmem, sems.at[4])
     tot_dma.start()
     g_dma.start()
 
-    def dma(slot, ci):
-        base = pl.multiple_of((c0 + ci) * CHUNK, CHUNK)
+    def dma(slot, i):
+        c = jnp.minimum(c0 + i, max_chunk)
         return pltpu.make_async_copy(
-            fields_hbm.at[:, pl.ds(base, CHUNK)],
+            fields_hbm.at[:, pl.ds(pl.multiple_of(c * CHUNK, CHUNK), CHUNK)],
             fbuf.at[slot],
             sems.at[slot],
         )
 
-    @pl.when(nchunks > 0)
+    @pl.when(niter > 0)
     def _():
         dma(0, 0).start()
+        dma(1, 1).start()
 
     tot_dma.wait()
     g_dma.wait()
@@ -335,16 +355,20 @@ def backward_kernel(
         # gpref[p] = sum_ch gC[ch,p] * (contributions of earlier chunks)[ch,p]
         gpref, t_carry, done = carry  # (PIX, 1), (PIX, 1), bool
 
-        @pl.when(ci + 1 < nchunks)
+        @pl.when(ci + 2 <= niter)
         def _():
-            dma((ci + 1) % 2, ci + 1).start()
+            dma((ci + 2) % 3, ci + 2).start()
 
-        dma(ci % 2, ci).wait()
+        @pl.when(ci == 0)
+        def _():
+            dma(0, 0).wait()
 
-        f = fbuf[ci % 2]
-        seg = _range_mask((c0 + ci) * CHUNK, start, end)
-        # pre-sort slot tag row: this tile's lanes keep their slot, foreign
-        # lanes get the >= cap sentinel so the reduction sort drops them
+        dma((ci + 1) % 3, ci + 1).wait()
+
+        f = _window(fbuf, ci, shift)
+        seg = _count_mask(ci, count)
+        # pre-sort slot tag row: this window's real lanes keep their slot,
+        # tail lanes get the >= cap sentinel so the reduction sort drops them
         presort_row = jnp.where(seg, f[PRESORT_ROW : PRESORT_ROW + 1, :],
                                 jnp.float32(cap))
 
@@ -463,12 +487,12 @@ def backward_kernel(
         jnp.ones((PIX, 1), jnp.float32),
         jnp.zeros((), jnp.bool_),
     )
-    jax.lax.fori_loop(0, nchunks, body, init)
+    jax.lax.fori_loop(0, niter, body, init)
 
-    @pl.when(nchunks >= 2)
+    @pl.when(niter >= 2)
     def _():
-        grad_write((nchunks - 2) % 2, nchunks - 2).wait()
+        grad_write((niter - 2) % 2, niter - 2).wait()
 
-    @pl.when(nchunks >= 1)
+    @pl.when(niter >= 1)
     def _():
-        grad_write((nchunks - 1) % 2, nchunks - 1).wait()
+        grad_write((niter - 1) % 2, niter - 1).wait()

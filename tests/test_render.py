@@ -64,16 +64,15 @@ def test_binning_consistency():
     # total emitted instances == sum of tiles_touched
     assert int(b.num_instances) == int(np.asarray(prep.tiles_touched).sum())
     starts, ends = np.asarray(b.starts), np.asarray(b.ends)
-    chunk0, nchunks = np.asarray(b.chunk0), np.asarray(b.nchunks)
+    nchunks = np.asarray(b.nchunks)
     # unpadded segments tile the sorted array, one sentinel row between them
     assert starts[0] == 0
     assert (starts[1:] == ends[:-1] + 1).all()
     assert (ends >= starts).all()
     assert int((ends - starts).sum()) == int(b.num_instances)
-    # every real instance's segment is covered by its tile's chunk range
+    # one kernel iteration (shifted window) per CHUNK real instances
     ne = ends > starts
-    assert (chunk0[ne] * 128 <= starts[ne]).all()
-    assert ((chunk0[ne] + nchunks[ne]) * 128 >= ends[ne]).all()
+    assert (nchunks == -(-(ends - starts) // 128)).all()
     assert (nchunks[~ne] == 0).all()
     # grad layout: disjoint 128-aligned per-tile regions
     grad_base = np.asarray(b.grad_base)
