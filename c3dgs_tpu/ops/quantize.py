@@ -94,11 +94,19 @@ fake_quant_affine.defvjp(_fq_fwd, _fq_bwd)
 
 
 def fake_quant(x: jax.Array, state: ObserverState, enabled: bool = True) -> jax.Array:
-    """Quantize-dequantize with the observer's current range (no update)."""
+    """Quantize-dequantize with the observer's current range (no update).
+
+    Identity while the observer is uninitialized — torch's FakeQuantize
+    behaves this way (scale=1/zp=0 defaults). Without this, a freshly
+    loaded .ply model (observers reset, like the reference's) would
+    collapse every attribute to ~1e-10 via the degenerate min=max=0
+    range before its first training step."""
     if not enabled:
         return x
     scale, zp = qparams(state)
-    return fake_quant_affine(x, scale, zp)
+    return jnp.where(
+        state.initialized > 0.5, fake_quant_affine(x, scale, zp), x
+    )
 
 
 def quantize_int8(x: jax.Array, state: ObserverState) -> jax.Array:

@@ -399,18 +399,16 @@ def backward_kernel(
                 preferred_element_type=jnp.float32,
             )  # (PIX, CHUNK)
 
-            direct = gc_dot_c * jnp.where(live, t_in, 0.0)
-
             # inclusive prefix of per-instance contribution dotted with gC
             gwc = w * gc_dot_c  # (PIX, CHUNK)
             gwc_prefix = prefix(gwc, incl)
             g_suffix = g_dot_ctotal - gpref - gwc_prefix  # (PIX, CHUNK)
 
-            one_m_a = 1.0 - alpha
-            g_alpha = direct - (g_suffix + g_tfin_term) / one_m_a
-            g_alpha = jnp.where(mask, g_alpha, 0.0)
-            g_raw = jnp.where(capped, 0.0, g_alpha)
-            g_power = g_raw * alpha
+            # g_power = alpha * dL/dalpha, folded: alpha * direct == gwc
+            # (direct = gc_dot_c * t_in * live), so only the suffix term
+            # needs the alpha/(1-alpha) ratio
+            g_power = gwc - (g_suffix + g_tfin_term) * (alpha / (1.0 - alpha))
+            g_power = jnp.where(mask & ~capped, g_power, 0.0)
 
             # positional grads via pixel moments of g_power (see
             # _moment_basis): with dx = xc - pxc, every pixel sum below is

@@ -58,3 +58,45 @@ def test_anchor_penalty_keeps_pose_close():
     drift_free = float(jnp.abs(ev_free - ev0).max())
     drift_anch = float(jnp.abs(ev_anchored - ev0).max())
     assert drift_anch < drift_free
+
+
+def test_joint_step_updates_scene_and_pose():
+    """Joint scene+pose training (train_no_splatting.py parity): one step
+    moves both the stepped camera's extrinsic and the scene params; other
+    cameras' extrinsics and Adam moments stay untouched."""
+    from c3dgs_tpu.config import OptimizationParams
+    from c3dgs_tpu.train import joint as J
+
+    rng = np.random.default_rng(2)
+    pts = rng.normal(size=(120, 3)).astype(np.float32) * 0.6
+    pts[:, 2] += 3.0
+    cols = rng.random(size=(120, 3)).astype(np.float32)
+    scene = gmod.from_point_cloud(pts, cols, capacity=128, quantization=False)
+
+    evs = np.stack(
+        [np.asarray([0, 0, 0, 1, 0, 0, 0], np.float32) for _ in range(3)]
+    )
+    evs[1, 4] += 0.05  # perturb camera 1
+    opt = OptimizationParams()
+    xyz_before = np.array(np.asarray(scene.xyz), copy=True)
+    js = J.create_joint_state(scene, opt, 1.0, evs)
+    gt = trainer.render_scene(
+        scene, jnp.asarray([0, 0, 0, 1, 0, 0, 0], jnp.float32), SET, BG
+    )["render"]
+
+    js2, metrics = J.joint_step(
+        js, jnp.int32(1), gt, SET, BG, opt, 1.0, 1e-3, 0.5
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["pose_delta"]) > 0
+    # stepped camera moved, others untouched
+    assert not np.allclose(np.asarray(js2.evs[1]), evs[1])
+    np.testing.assert_array_equal(np.asarray(js2.evs[0]), evs[0])
+    np.testing.assert_array_equal(np.asarray(js2.ev_m[2]), 0.0)
+    assert float(js2.ev_t[1]) == 1.0 and float(js2.ev_t[0]) == 0.0
+    # scene parameters advanced too
+    assert not np.allclose(np.asarray(js2.train.scene.xyz), xyz_before)
+    # quaternion stays normalized
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(js2.evs[1][:4])), 1.0, atol=1e-6
+    )

@@ -168,3 +168,24 @@ def test_morton_sorted_scene():
     a = np.sort(np.asarray(scene.xyz)[np.asarray(scene.active)], axis=0)
     b = np.sort(np.asarray(s2.xyz)[np.asarray(s2.active)], axis=0)
     np.testing.assert_allclose(a, b, atol=0)
+
+
+def test_fresh_observers_are_identity(tmp_path):
+    """A freshly loaded .ply model (observers reset, matching the
+    reference) must fake-quant as identity until the first observer
+    update — regression: degenerate min=max=0 ranges collapsed every
+    attribute to ~1e-10 and made loaded models render black."""
+    scene = make_scene(quantization=True)
+    path = str(tmp_path / "pc.ply")
+    io_ply.save_gaussians_ply(scene, path)
+    loaded = io_ply.load_gaussians_ply(path, quantization=True)
+    op = np.asarray(loaded.get_opacity())[np.asarray(loaded.active)]
+    ref = np.asarray(
+        jnp.asarray(1.0) / (1.0 + jnp.exp(-loaded.opacity))
+    )[np.asarray(loaded.active)]
+    np.testing.assert_allclose(op, ref, atol=1e-6)
+    assert op.max() > 0.01
+    # after one observer pass the fake-quant engages (int8 grid error)
+    observed = loaded.update_observers()
+    op_q = np.asarray(observed.get_opacity())[np.asarray(observed.active)]
+    assert np.abs(op_q - ref).max() < (ref.max() - min(ref.min(), 0)) / 128
