@@ -24,8 +24,7 @@ def make_mesh(
     tiles: Optional[int] = None,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    devices = list(devices if devices is not None else jax.devices())
-    n = len(devices)
+    n = len(devices) if devices is not None else jax.device_count()
     if dp is None and tiles is None:
         dp, tiles = 1, n
     elif dp is None:
@@ -33,5 +32,19 @@ def make_mesh(
     elif tiles is None:
         tiles = n // dp
     assert dp * tiles == n, f"{dp}x{tiles} != {n} devices"
-    arr = np.asarray(devices).reshape(dp, tiles)
+    if devices is not None:
+        arr = np.asarray(list(devices)).reshape(dp, tiles)
+        return Mesh(arr, ("dp", "tiles"))
+    from jax.experimental import mesh_utils
+
+    nproc = jax.process_count()
+    if nproc > 1 and dp % nproc == 0:
+        # multi-host: the dp axis spans hosts so its grad psum rides DCN,
+        # while the bandwidth-hungry tiles all_gather stays on ICI
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(dp // nproc, tiles), dcn_mesh_shape=(nproc, 1)
+        )
+    else:
+        # single host: let jax pick the ICI-topology-friendly assignment
+        arr = mesh_utils.create_device_mesh((dp, tiles))
     return Mesh(arr, ("dp", "tiles"))
