@@ -16,6 +16,7 @@ import numpy as np
 
 from ..config import OptimizationParams
 from ..models.gaussians import GaussianScene
+from ..render.capacity import CapacityPolicy
 from ..render.types import RasterSettings, settings_from_intrinsic
 from . import trainer
 
@@ -36,13 +37,18 @@ def finetune(
     bg = jnp.zeros(3) if bg is None else jnp.asarray(bg)
     state = trainer.create_train_state(scene, opt, spatial_lr_scale)
     rng = random.Random(seed)
+    # adaptive instance/grad capacity: splats drift and inflate during QAT
+    # finetuning, and at a fixed auto capacity an overflowing frame drops
+    # instances, which corrupts training into a runaway (measured: PSNR
+    # 45 -> 24 dB once instances crossed the static 8x-gaussians bound)
+    capacity = CapacityPolicy(initial=1 << 18)
 
     # group cameras by resolution so each bucket reuses one compiled step
     ema_loss = None
     t0 = time.time()
     for it in range(iterations):
         cam = rng.choice(cameras)
-        settings = settings_from_intrinsic(cam.intrinsic)
+        settings = capacity.apply(settings_from_intrinsic(cam.intrinsic))
         gt = jnp.asarray(cam.original_image)
         state, metrics = trainer.train_step(
             state,
@@ -53,12 +59,20 @@ def finetune(
             opt,
             spatial_lr_scale,
         )
+        capacity.update(
+            int(metrics["num_instances"]),
+            int(metrics["overflow"]),
+            int(metrics["grad_total"]),
+            int(metrics["grad_overflow"]),
+        )
         loss = float(metrics["loss"])
         ema_loss = loss if ema_loss is None else 0.6 * ema_loss + 0.4 * loss
         if log_every and (it % log_every == 0 or it == iterations - 1):
             print(
                 f"[finetune {it}/{iterations}] loss={loss:.4f} "
                 f"ema={ema_loss:.4f} psnr={float(metrics['psnr']):.2f} "
+                f"inst={int(metrics['num_instances'])} "
+                f"ovf={int(metrics['overflow'])} "
                 f"({time.time() - t0:.1f}s)"
             )
     return state.scene
