@@ -16,7 +16,7 @@ import dataclasses
 import json
 import os
 import sys
-from typing import Optional, get_type_hints
+from typing import get_type_hints
 
 
 @dataclasses.dataclass(frozen=True)

@@ -13,12 +13,11 @@ Divergences:
 from __future__ import annotations
 
 import dataclasses
-from pathlib import Path
 from typing import Optional
 
 import numpy as np
 
-from ..ops.camera_math import focal_to_fov, mat_to_extrinsic
+from ..ops.camera_math import mat_to_extrinsic
 
 WARNED_RESOLUTION = False
 

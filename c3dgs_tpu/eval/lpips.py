@@ -14,7 +14,6 @@ weights reproduce the reference metric without torch at eval time.
 """
 from __future__ import annotations
 
-import functools
 import os
 from typing import Dict, List, Optional
 

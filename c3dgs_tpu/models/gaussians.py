@@ -18,7 +18,7 @@ factor-scaling decomposition gaussian_model.py:54-77, quaternions real-first).
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import flax.struct
 import jax

@@ -12,7 +12,6 @@ Unquantized layout — plain float arrays under the same keys.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax.nn
 import jax.numpy as jnp

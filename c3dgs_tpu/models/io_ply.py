@@ -157,8 +157,6 @@ def load_gaussians_ply(
 ) -> gmod.GaussianScene:
     """Load a 3DGS ply (or a bare RGB point cloud) into a GaussianScene
     (gaussian_model.py:398-502)."""
-    from ..ops import sh as sh_ops
-
     v = read_vertices(path)
     keys = set(v.keys())
     assert {"x", "y", "z"} <= keys

@@ -21,7 +21,6 @@ segment-sum (see render/tiles.py), and cross-device reduction is a psum.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +29,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import OptimizationParams
 from ..models.gaussians import GaussianScene
 from ..ops import losses as L
-from ..render import tiles as tiles_mod
 from ..render.binning import bin_gaussians, per_gaussian_table
 from ..render.preprocess import preprocess
 from ..render.rasterizer import assemble_image, blend_gaussians

@@ -10,8 +10,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Tuple
 
-import jax
-
 TILE_X = 32  # pixels per tile, x (reference config.h:16 uses 16; 32 wins on TPU)
 TILE_Y = 16  # pixels per tile, y (reference config.h:17)
 

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ import numpy as np
 from ..config import OptimizationParams
 from ..models.gaussians import GaussianScene
 from ..render.capacity import CapacityPolicy
-from ..render.types import RasterSettings, settings_from_intrinsic
+from ..render.types import settings_from_intrinsic
 from . import trainer
 
 

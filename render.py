@@ -12,7 +12,7 @@ def render_sets(model_p, iteration, skip_train, skip_test):
     import jax.numpy as jnp
 
     from c3dgs_tpu.data import Scene
-    from c3dgs_tpu.eval.metrics import render_and_eval, write_results
+    from c3dgs_tpu.eval.metrics import render_and_eval
 
     scene = Scene(
         source_path=model_p.source_path,

@@ -3,7 +3,6 @@
 render one view (parity: run_indexed.py:1-46, without its hard-coded paths).
 """
 import argparse
-import os
 
 
 def main(argv=None):

@@ -7,12 +7,8 @@ L1+0.2(1-SSIM) loss :76-79, per-epoch densify/prune + opacity reset
 arguments/__init__.py.
 """
 import argparse
-import math
 import os
-import sys
 import time
-
-import numpy as np
 
 
 def training(model_p, opt_p, pipe_p, save_epochs=(), quantization=True):
