@@ -193,3 +193,24 @@ def test_capacity_policy():
     # never below the floor
     tiny = CapacityPolicy(initial=1)
     assert tiny.capacity == MIN_CAPACITY
+
+
+def test_capacity_policy_grad_buffer():
+    from c3dgs_tpu.render.capacity import MIN_CAPACITY, CapacityPolicy
+
+    pol = CapacityPolicy(initial=1 << 20, shrink_patience=2)
+    assert pol.grad_capacity == 0  # safe static bound until observed
+    # first observation initializes the bucket (no re-render needed)
+    assert pol.update(100_000, 0, grad_total=200_000, grad_overflow=0) is False
+    assert pol.grad_capacity >= 200_000
+    # grad overflow grows and requests a re-render (writes were clamped)
+    assert pol.update(100_000, 0, grad_total=900_000, grad_overflow=50) is True
+    assert pol.grad_capacity >= 900_000
+    grown = pol.grad_capacity
+    # sustained low grad usage shrinks after patience
+    for _ in range(2):
+        pol.update(100_000, 0, grad_total=130_000, grad_overflow=0)
+    assert MIN_CAPACITY <= pol.grad_capacity < grown
+    # explicit initial seeds the bucket
+    seeded = CapacityPolicy(grad_initial=300_000)
+    assert seeded.grad_capacity >= 300_000
