@@ -40,8 +40,20 @@ def finetune(
     # adaptive instance/grad capacity: splats drift and inflate during QAT
     # finetuning, and at a fixed auto capacity an overflowing frame drops
     # instances, which corrupts training into a runaway (measured: PSNR
-    # 45 -> 24 dB once instances crossed the static 8x-gaussians bound)
-    capacity = CapacityPolicy(initial=1 << 18)
+    # 45 -> 24 dB once instances crossed the static 8x-gaussians bound).
+    # Seed the buckets from one probe render so the first steps don't ramp
+    # through undersized buckets (each ramp step trains one clipped frame).
+    probe_cam = cameras[0]
+    probe = trainer.render_scene(
+        scene,
+        jnp.asarray(probe_cam.extrinsic_vector),
+        settings_from_intrinsic(probe_cam.intrinsic),
+        bg,
+    )
+    capacity = CapacityPolicy(
+        initial=max(int(probe["num_instances"]) * 2, 1 << 18),
+        grad_initial=int(probe["grad_total"]) * 2,
+    )
 
     # group cameras by resolution so each bucket reuses one compiled step
     ema_loss = None
