@@ -13,14 +13,16 @@ Differences forced/afforded by TPU+XLA:
   (tile, max-depth), placed after all real rows so stability parks each at
   its tile's end) — identifyTileRanges for free instead of a second
   rank/searchsorted pass;
-- tile segments stay UNPADDED: the blend kernels read 128-aligned global
-  chunks covering [start, end) and lane-mask out-of-range instances, so no
-  padded instance layout (and none of its big row gathers) ever exists.
-  Gradients are written per (tile, chunk) to a separate 128-aligned grad
+- tile segments stay UNPADDED: the blend kernels assemble each loop
+  iteration's CHUNK-instance window from the two aligned chunks covering
+  it (one lane roll — tiles._window), so every iteration holds CHUNK real
+  instances and no padded instance layout (nor its big row gathers) ever
+  exists. Gradients are written per (tile, window) to a 128-aligned grad
   buffer tagged with each instance's pre-sort slot, and reduced to
-  gaussians by one multi-payload sort + prefix-sum differences
-  (rasterizer.blend_gaussians) — deterministic, race-free, replacing the
-  reference backward's atomicAdd scatter (backward.cu:523-554).
+  gaussians by one (key, position) sort + row gather + prefix-sum
+  differences (rasterizer.blend_gaussians) — deterministic, race-free,
+  replacing the reference backward's atomicAdd scatter
+  (backward.cu:523-554).
 
 TPU performance rules baked in (all measured on v5e — see docs/PERF.md):
 - sorts are cheap, scatters and fused 1-D gathers are pathologically slow;

@@ -29,8 +29,11 @@ class RasterSettings:
     # reported, mirroring the dynamic num_rendered of the reference
     # (rasterizer_impl.cu:279) with a static budget.
     instance_capacity: int = 0  # 0 => auto: 8 * num_gaussians
-    # cap on tiles a single gaussian may occupy (static scatter width)
-    max_tiles_per_gaussian: int = 0  # 0 => auto: full tile grid, capped at 256
+    # cap on tiles a single gaussian may occupy; 0 => the full tile grid.
+    # binning additionally caps it to fit the packed (gid, j) sort payload
+    # (>= 4096 whenever gaussians + tiles <= 2^19; excess is counted in
+    # the `clipped` diagnostic)
+    max_tiles_per_gaussian: int = 0
     # capacity of the per-instance gradient buffer (128-aligned chunk cover
     # of every tile's unpadded segment); 0 => the always-sufficient bound
     # cap + 2*CHUNK*num_tiles. The adaptive policy tightens it (the backward
