@@ -53,15 +53,21 @@ def _importance_step(
         if use_gt:
             # compress.py:104-108
             lambda_dssim = 0.2
-            return (1.0 - lambda_dssim) * L.l1_loss(image, gt_image) + (
+            loss = (1.0 - lambda_dssim) * L.l1_loss(image, gt_image) + (
                 lambda_dssim
             ) * (1.0 - L.ssim(image, gt_image))
-        return image.sum()
+        else:
+            loss = image.sum()
+        return loss, out
 
-    g_dc, g_rest, g_cov = jax.grad(loss_fn, argnums=(0, 1, 2))(
-        scene.features_dc, scene.features_rest, cov3d_descaled
-    )
-    return jnp.abs(g_dc), jnp.abs(g_rest), jnp.abs(g_cov)
+    def loss_with_stats(features_dc, features_rest, cov3d):
+        loss, out = loss_fn(features_dc, features_rest, cov3d)
+        return loss, (out["num_instances"], out["overflow"])
+
+    (_, stats), (g_dc, g_rest, g_cov) = jax.value_and_grad(
+        loss_with_stats, argnums=(0, 1, 2), has_aux=True
+    )(scene.features_dc, scene.features_rest, cov3d_descaled)
+    return jnp.abs(g_dc), jnp.abs(g_rest), jnp.abs(g_cov), stats
 
 
 def calc_importance(
@@ -77,27 +83,37 @@ def calc_importance(
     (when use_gt) .original_image. Indexed scenes are allowed: grads land on
     codebook rows, matching the reference's indexed importance.
     """
+    import dataclasses
+
+    from ..render.capacity import CapacityPolicy
     from ..render.types import settings_from_intrinsic
 
     accum_dc = jnp.zeros_like(scene.features_dc)
     accum_rest = jnp.zeros_like(scene.features_rest)
     accum_cov = None
     num_pixels = 0
+    policy = CapacityPolicy()
     for cam in cameras:
         settings = (
             render_settings_fn(cam) if render_settings_fn else settings_from_intrinsic(cam.intrinsic)
         )
         # sensitivity path disables color clamping (compress.py:102,
         # render(..., clamp_color=False))
-        import dataclasses
-
         settings = dataclasses.replace(settings, clamp_color=False)
         gt = (
             jnp.asarray(cam.original_image) if use_gt else None
         )
-        g_dc, g_rest, g_cov = _importance_step(
-            scene, jnp.asarray(cam.extrinsic_vector), gt, settings, use_gt
-        )
+        # overflow-free: dropped instances would silently skew sensitivities
+        for _ in range(8):
+            g_dc, g_rest, g_cov, stats = _importance_step(
+                scene,
+                jnp.asarray(cam.extrinsic_vector),
+                gt,
+                policy.apply(settings),
+                use_gt,
+            )
+            if not policy.update(int(stats[0]), int(stats[1])):
+                break
         accum_dc = accum_dc + g_dc
         accum_rest = accum_rest + g_rest
         accum_cov = g_cov if accum_cov is None else accum_cov + g_cov
