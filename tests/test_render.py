@@ -214,3 +214,57 @@ def test_capacity_policy_grad_buffer():
     # explicit initial seeds the bucket
     seeded = CapacityPolicy(grad_initial=300_000)
     assert seeded.grad_capacity >= 300_000
+
+
+def test_render_full_grows_capacity_until_overflow_free():
+    from c3dgs_tpu.eval.metrics import render_full
+    from c3dgs_tpu.render.capacity import CapacityPolicy
+
+    means, cov, op, ev, colors, _ = make_scene(300)
+    bg = jnp.asarray([0.2, 0.1, 0.4])
+    ref = rasterizer.render(means, cov, op, ev, SETTINGS, bg, colors_precomp=colors)
+    need = int(ref["num_instances"])
+
+    class SceneShim:
+        active_sh_degree = 0
+
+        def get_xyz(self):
+            return means
+
+        def get_covariance(self, m=1.0):
+            return cov
+
+        def get_opacity(self):
+            return op[:, None]
+
+        def get_features(self):
+            return jnp.zeros((means.shape[0], 1, 3))
+
+    # deliberately undersized starting bucket (policy floor is MIN_CAPACITY,
+    # so go through the trainer path with precomputed colors instead)
+    from c3dgs_tpu.render.types import RasterSettings as RS
+    import dataclasses
+
+    small = dataclasses.replace(SETTINGS, instance_capacity=0)
+    pol = CapacityPolicy(initial=1)
+    pol.capacity = 128  # force an undersized first bucket (bypass floor)
+    from c3dgs_tpu.train import trainer as _tr
+
+    calls = {"n": 0}
+    orig = _tr.render_scene
+
+    def counting(scene, ev_, st, bg_, **kw):
+        calls["n"] += 1
+        return rasterizer.render(means, cov, op, ev_, st, bg_, colors_precomp=colors)
+
+    _tr_render = _tr.render_scene
+    _tr.render_scene = counting
+    try:
+        out = render_full(SceneShim(), ev, small, bg, pol)
+    finally:
+        _tr.render_scene = _tr_render
+    assert calls["n"] >= 2  # at least one regrow happened
+    assert int(out["overflow"]) == 0
+    np.testing.assert_allclose(
+        np.asarray(out["render"]), np.asarray(ref["render"]), atol=1e-5
+    )
