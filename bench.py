@@ -83,7 +83,7 @@ def main():
         )()
         need, grad_need = int(probe[0]), int(probe[1])
         policy = CapacityPolicy(
-            initial=int(need * 1.3), grad_initial=int(grad_need * 1.1)
+            initial=int(need * 1.12), grad_initial=int(grad_need * 1.04)
         )
         settings = policy.apply(settings)
         print(

@@ -268,16 +268,19 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> Binning:
 
 def per_gaussian_table(prep: Preprocessed, offset: jax.Array) -> jax.Array:
     """(N, NUM_FIELDS) differentiable per-gaussian field table consumed by
-    rasterizer.blend_gaussians. Cols: 0 x, 1 y, 2..4 conic, 5 opacity,
-    6..8 rgb, OFFSET_ROW the (non-diff) first emission slot from binning
-    (exact in f32 for caps < 2^24); the rest are zero (col PRESORT_ROW is
-    filled per instance as offset + j after staging)."""
+    rasterizer.blend_gaussians. Cols: 0 x, 1 y, 2..4 PRE-SCALED conic
+    (-0.5a, -b, -0.5c — the gaussian exponent's quadratic-form coefficients,
+    so the kernels evaluate power = a'dx² + b'dxdy + c'dy² with no extra
+    scaling ops on (PIX, CHUNK) operands), 5 opacity, 6..8 rgb, OFFSET_ROW
+    the (non-diff) first emission slot from binning (exact in f32 for caps
+    < 2^24); the rest are zero (col PRESORT_ROW is filled per instance as
+    offset + j after staging)."""
     n = prep.mean2d.shape[0]
     off = jax.lax.stop_gradient(offset).astype(prep.mean2d.dtype)
     table = jnp.concatenate(
         [
             prep.mean2d,
-            prep.conic,
+            prep.conic * jnp.asarray([-0.5, -1.0, -0.5], prep.conic.dtype),
             prep.opacity[:, None],
             prep.color,
             jnp.zeros((n, OFFSET_ROW - NUM_USED_FIELDS), prep.mean2d.dtype),

@@ -5,16 +5,18 @@ renderer (SURVEY.md §4 test strategy). Semantics replicate
 forward.cu renderCUDA (:270-383) exactly, including:
 - per-gaussian tile-rect confinement (a gaussian only composites into
   pixels whose 16x16 tile lies inside its getRect rectangle);
-- alpha = min(0.99, opacity * exp(power)), skipped when power > 0 or
+- alpha = min(0.99, opacity * exp(min(power, 0))), skipped when
   alpha < 1/255;
 - a contribution lands only while entering transmittance stays above the
   1e-4 stop threshold (test_T >= 1e-4);
 - front-to-back order: depth-sorted, stable w.r.t. gaussian index.
 
-One deliberate divergence (documented in render/tiles.py too): after a
+Deliberate divergences (documented in render/tiles.py too): (1) after a
 pixel saturates, the reference freezes T; we keep multiplying by (1-alpha).
 Contributions are identical; only final_T on saturated pixels differs by
-<1e-4, i.e. below half an 8-bit LSB of background blending.
+<1e-4, i.e. below half an 8-bit LSB of background blending. (2) the
+reference SKIPS power > 0 pixels; we clamp power to 0 — identical for
+every positive-definite conic (see the inline note in blend_oracle).
 """
 from __future__ import annotations
 
@@ -64,6 +66,14 @@ def blend_oracle(
         dx = xy[0] - px
         dy = xy[1] - py
         power = -0.5 * (con[0] * dx * dx + con[2] * dy * dy) - con[1] * dx * dy
+        # The reference SKIPS power > 0 pixels (forward.cu:349) — purely
+        # defensive: after the +0.3 low-pass the 2D conic is provably
+        # positive definite, so true power <= 0 everywhere and only
+        # rounding can flip its sign (in bf16 kernels, catastrophically —
+        # the flip region is the gaussian's own center ridge, where alpha
+        # is LARGEST). Clamping is identical for every PD conic and
+        # rounding-robust; divergence documented in tiles.py.
+        power = jnp.minimum(power, 0.0)
         alpha = jnp.minimum(MAX_ALPHA, prep.opacity[idx] * jnp.exp(power))
         in_rect = (
             (tile_px >= prep.rect_min[idx, 0])
@@ -71,7 +81,7 @@ def blend_oracle(
             & (tile_py >= prep.rect_min[idx, 1])
             & (tile_py < prep.rect_max[idx, 1])
         )
-        mask = (power <= 0.0) & (alpha >= MIN_ALPHA) & in_rect & alive
+        mask = (alpha >= MIN_ALPHA) & in_rect & alive
         alpha = jnp.where(mask, alpha, 0.0)
         test_t = t_acc * (1.0 - alpha)
         contrib = jnp.where(test_t >= STOP_T, alpha * t_acc, 0.0)

@@ -17,25 +17,46 @@ real instances from the two aligned chunks that cover it (one dynamic lane
 roll — see _window), so per-instance kernel cost never pays for tile
 boundaries; the window tail past the segment count is masked to alpha=0.
 
-The backward needs suffix sums S_i = C_total - prefix_{<=i}; the prefix is
-the *inclusive* triangular matmul — same machinery, so the whole backward
-runs front-to-back (no back-to-front pass like backward.cu:472, and no
-atomics): per-window grads are written to a 128-aligned grad buffer at
-grad_base[t] + ci*CHUNK (each (tile, window) owns its slot — race-free),
-tagged in row PRESORT_ROW with the instance's pre-sort slot.
+The backward runs BACK-TO-FRONT like the reference (backward.cu:472), but
+for a sharper reason than warp scheduling: the per-instance gradient
+needs the suffix sum S_i = sum_{j>i} gC.(w_j c_j), amplified by
+alpha/(1-alpha) (up to 99x at the alpha cap). Accumulating S from the back
+keeps its error proportional to S itself; the front-to-back alternative
+(C_total - prefix) turns rounding of the LARGE prefix into garbage on
+near-opaque instances. Per-instance transmittance does not ride a
+division out of final_T (backward.cu:503, the ill-conditioned step):
+the backward walks lt = log T BACKWARD from the forward's exported
+lt_final residual — log-domain sums are finite (alpha <= 0.99) and the
+walk is f32-exact because the in-window prefix matmuls use the 2-pass
+tri split in both modes (the kernel is VPU-bound, so the extra MXU pass
+is free — docs/PERF.md). The forward's saturation early-exit index is
+exported too, so both kernels skip exactly the same windows.
+
+A bf16 backward elementwise chain was tried and reverted: Mosaic has no
+bf16 compare/exp/log1p lowerings and the remaining bf16 ops measured
+within 0.2 ms of f32 — the VPU does not pack bf16 2x on this target.
+
+No atomics anywhere: per-window grads are written to a 128-aligned grad
+buffer at grad_base[t] + ci*CHUNK (each (tile, window) owns its slot —
+race-free), tagged in row PRESORT_ROW with the instance's pre-sort slot.
 rasterizer.blend_gaussians reduces them to per-gaussian grads with one
 (key, position) sort + row gather + prefix-sum differences —
 deterministic, unlike the reference's atomicAdd accumulation
 (backward.cu:523-554).
 
-Divergence from CUDA, both documented in oracle.py: (1) after a pixel
+Divergences from CUDA, documented in oracle.py: (1) after a pixel
 saturates (T < 1e-4) we keep updating T instead of freezing it — identical
 contributions, final_T differs below 8-bit significance; (2) the opacity
-gradient respects the 0.99 alpha cap (the reference backward ignores it).
+gradient respects the 0.99 alpha cap (the reference backward ignores it);
+(3) the defensive power > 0 skip (forward.cu:349) is a clamp to 0 instead —
+identical for every positive-definite conic (all of them, given the +0.3
+low-pass) and robust to a rounding-flipped sign at the center ridge.
 
 On CPU (tests) the kernels run in Pallas interpret mode.
 """
 from __future__ import annotations
+
+import math
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +75,7 @@ OUT_ROWS = 8  # rows 0..2 color, 3 final_T, rest zero
 # stricter than STOP_T so skipped work is provably invisible (contributions
 # need T*(1-a) >= STOP_T, and the background term changes by < EXIT_T)
 EXIT_T = 1e-6
+LOG_EXIT_T = math.log(EXIT_T)  # forward carry lives in log domain
 
 
 def _tri_dot(x, tri):
@@ -76,13 +98,12 @@ def _tri_dot(x, tri):
 def _tri_dot_1pass(x, tri):
     """Single-pass x @ tri (operand truncated to bf16 by the MXU).
 
-    Used only for the BACKWARD kernel's prefix sums when fast_grad is on:
-    the resulting transmittance/suffix carry <= 2^-9 * |log T| relative
-    error (~0.2% mid-blend, ~2% at the saturation tail) — pure gradient
-    noise under Adam, and no worse a perturbation class than the CUDA
-    reference's nondeterministic atomicAdd ordering + T-by-division
-    (backward.cu:503). The forward image path always uses the exact
-    2-pass split."""
+    Used for the BACKWARD kernel's in-window SUFFIX matmul when fast_grad
+    is on: with the back-to-front accumulation order its input truncation
+    is a <= 2^-9 relative perturbation of each term, never amplified —
+    pure gradient noise under Adam, smaller than the CUDA reference's
+    nondeterministic atomicAdd ordering noise. The transmittance walk and
+    the forward image always use the exact 2-pass split."""
     return jnp.dot(x, tri, preferred_element_type=jnp.float32)
 
 
@@ -100,44 +121,24 @@ def _pixel_coords(tile_idx, tiles_x: int):
     return px, py
 
 
-NUM_MOMENTS = 8  # 1, px, py, px^2, px*py, py^2 (+2 zero rows, MXU tiling)
-
-
-def _moment_basis(pxc, pyc):
-    """(NUM_MOMENTS, PIX) polynomial basis in TILE-CENTERED pixel coords.
-
-    The backward's positional gradients are polynomials in (dx, dy) =
-    (xc - pxc, yc - pyc), so their pixel sums reduce to 6 moments of
-    g_power: one (8, PIX) @ (PIX, CHUNK) matmul replaces six colsum
-    matmuls AND their (PIX, CHUNK) elementwise products. Centered coords
-    keep the quadratic rows small (|pxc| <= TILE/2), so the expansion
-    x^2*S0 - 2x*Sx + Sxx has no catastrophic cancellation: xc ~ dx always
-    (they differ by at most half a tile)."""
-    one = jnp.ones_like(pxc)
-    zero = jnp.zeros_like(pxc)
-    return jnp.concatenate(
-        [one, pxc, pyc, pxc * pxc, pxc * pyc, pyc * pyc, zero, zero], axis=0
-    )
-
-
-def _moments(basis2, gp):
-    """basis @ gp at ~f32 accuracy: the basis operand is split hi/lo (its
-    quadratic rows are not bf16-exact) and both halves are stacked into ONE
-    (2*NUM_MOMENTS, PIX) matmul (K-bound on the MXU, so doubling M is
-    free); gp carries the one-pass bf16 truncation, same error class as
-    the colsum matmuls this replaces."""
-    m = jnp.dot(basis2, gp, preferred_element_type=jnp.float32)
-    return m[:NUM_MOMENTS] + m[NUM_MOMENTS:]
+# NOTE: an earlier design computed the backward's positional-gradient pixel
+# sums from 6 tile-centered MOMENTS of g_power (one (8, PIX) @ (PIX, CHUNK)
+# matmul, no elementwise products). It was abandoned: expanding
+# sum g*(xc - pxc)^2 around the tile center cancels catastrophically for
+# small splats away from the center ((xc/dx)^2 reaches ~10^3), amplifying
+# the matmul's bf16 input rounding into >100% gradient error. The direct
+# products sum (g*dx)*dx keep every rounding proportional to its term.
 
 
 def _tri_matrices():
     """(CHUNK, CHUNK) ones matrices: A @ strict = exclusive prefix over the
-    gaussian axis, A @ incl = inclusive prefix."""
+    gaussian axis, A @ upper_strict = exclusive SUFFIX (sum over later
+    instances — the backward's better-conditioned accumulation order)."""
     row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
     strict = (row < col).astype(jnp.float32)
-    incl = (row <= col).astype(jnp.float32)
-    return strict, incl
+    upper_strict = (row > col).astype(jnp.float32)
+    return strict, upper_strict
 
 
 def _count_mask(ci, count):
@@ -163,22 +164,28 @@ def _window(fbuf, ci, shift):
 def _chunk_alpha(f, px, py, seg_mask):
     """Alpha evaluation for one staged chunk f: (NUM_FIELDS, CHUNK).
 
-    Returns (PIX, CHUNK) arrays: dx, dy, alpha (masked), mask, capped.
-    Masking = the renderCUDA skip rules (power>0, alpha<1/255) AND the
-    lane belonging to this tile's segment (seg_mask, (1, CHUNK))."""
+    Rows 2..4 hold the PRE-SCALED conic a' = -0.5a, b' = -b, c' = -0.5c
+    (binning.per_gaussian_table), so power = a'dx² + b'dxdy + c'dy²
+    directly. Returns (PIX, CHUNK) arrays: dx, dy, alpha (masked), mask,
+    capped. Masking = renderCUDA's alpha < 1/255 skip AND the lane
+    belonging to this tile's segment (seg_mask, (1, CHUNK)); the
+    reference's defensive power > 0 skip is a clamp here — true power <= 0
+    always (the +0.3 low-pass makes the conic positive definite), and the
+    clamp cannot drop a full-strength contribution when rounding flips the
+    sign near the center ridge (see oracle.py)."""
     x = f[0:1, :]
     y = f[1:2, :]
-    ca = f[2:3, :]
-    cb = f[3:4, :]
-    cc = f[4:5, :]
+    a2 = f[2:3, :]
+    b2 = f[3:4, :]
+    c2 = f[4:5, :]
     op = f[5:6, :]
     dx = x - px.reshape(PIX, 1)
     dy = y - py.reshape(PIX, 1)
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    power = jnp.minimum((a2 * dx + b2 * dy) * dx + (c2 * dy) * dy, 0.0)
     raw = op * jnp.exp(power)
     capped = raw > MAX_ALPHA
     alpha = jnp.minimum(MAX_ALPHA, raw)
-    mask = (power <= 0.0) & (raw >= MIN_ALPHA) & seg_mask
+    mask = (raw >= MIN_ALPHA) & seg_mask
     alpha = jnp.where(mask, alpha, 0.0)
     return dx, dy, alpha, mask, capped
 
@@ -195,6 +202,16 @@ def forward_kernel(
     *,
     tiles_x: int,
 ):
+    """Tile alpha-compositing. The transmittance carry lives in LOG domain
+    (lt = log T, always finite: alpha <= 0.99 keeps every log1p term
+    >= log(0.01)); besides the image rows the kernel exports
+      row 4: final log-transmittance lt_final
+      row 5: stop = index of the first window skipped by saturation
+             early-exit (= nchunks when no exit)
+    — the residuals from which the backward kernel reconstructs every
+    window's entering transmittance EXACTLY by walking lt backward in f32,
+    instead of dividing T back out of final_T (backward.cu:503, the
+    ill-conditioned step)."""
     t = pl.program_id(0)
     start = starts_ref[t]
     count = ends_ref[t] - start
@@ -219,7 +236,7 @@ def forward_kernel(
         dma(1, 1).start()
 
     def body(ci, carry):
-        color, t_carry, done = carry  # (PIX, 3), (PIX, 1), bool
+        color, lt, stop = carry  # (PIX, 3), (PIX, 1), int32
 
         @pl.when(ci + 2 <= niter)
         def _():
@@ -231,14 +248,16 @@ def forward_kernel(
 
         dma((ci + 1) % 3, ci + 1).wait()
 
+        done = stop <= ci
+
         def compute(args):
-            color, t_carry = args
+            color, lt = args
             f = _window(fbuf, ci, shift)
             seg = _count_mask(ci, count)
             _, _, alpha, _, _ = _chunk_alpha(f, px, py, seg)
             tlog = jnp.log1p(-alpha)
             s_excl = _tri_dot(tlog, strict)
-            t_in = t_carry * jnp.exp(s_excl)  # (PIX, CHUNK)
+            t_in = jnp.exp(s_excl + lt)  # (PIX, CHUNK)
             live = t_in * (1.0 - alpha) >= STOP_T
             w = jnp.where(live, alpha * t_in, 0.0)
             colors = f[6:9, :]  # (3, CHUNK)
@@ -248,25 +267,35 @@ def forward_kernel(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            t_carry = t_carry * jnp.exp(
-                s_excl[:, CHUNK - 1 :] + tlog[:, CHUNK - 1 :]
-            )
-            return color, t_carry
+            lt = lt + s_excl[:, CHUNK - 1 :] + tlog[:, CHUNK - 1 :]
+            return color, lt
 
-        color, t_carry = jax.lax.cond(done, lambda a: a, compute, (color, t_carry))
-        done = jnp.max(t_carry) < EXIT_T
-        return color, t_carry, done
+        color, lt = jax.lax.cond(done, lambda a: a, compute, (color, lt))
+        # saturation early-exit: windows >= stop are never blended; the
+        # backward skips the SAME set, so lt_final + per-window sums
+        # reconstruct every processed window's entering transmittance
+        exited = jnp.max(lt) < LOG_EXIT_T
+        stop = jnp.where((stop == niter) & exited, ci + 1, stop)
+        return color, lt, stop
 
     init = (
         jnp.zeros((PIX, 3), jnp.float32),
-        jnp.ones((PIX, 1), jnp.float32),
-        jnp.zeros((), jnp.bool_),
+        jnp.zeros((PIX, 1), jnp.float32),
+        niter,
     )
-    color, t_final, _ = jax.lax.fori_loop(0, niter, body, init)
+    color, lt_final, stop = jax.lax.fori_loop(0, niter, body, init)
 
+    # ONE (PIX, OUT_ROWS) -> (OUT_ROWS, PIX) transpose for all rows
     out_ref[0] = jnp.concatenate(
-        [color.T, t_final.T, jnp.zeros((OUT_ROWS - 4, PIX), jnp.float32)], axis=0
-    )
+        [
+            color,
+            jnp.exp(lt_final),
+            lt_final,
+            jnp.zeros((PIX, 1), jnp.float32) + stop.astype(jnp.float32),
+            jnp.zeros((PIX, OUT_ROWS - 6), jnp.float32),
+        ],
+        axis=1,
+    ).T
 
 
 def backward_kernel(
@@ -276,7 +305,7 @@ def backward_kernel(
     nchunks_ref,
     grad_base_ref,
     fields_hbm,
-    totals_hbm,  # (T, OUT_ROWS, PIX): fwd output (rows 0..2 C, 3 final_T)
+    totals_hbm,  # (T, OUT_ROWS, PIX): rows 3 final_T, 4 lt_final, 5 stop
     gout_hbm,  # (T, OUT_ROWS, PIX): rows 0..2 dL/dC, 3 dL/dT_final
     grads_hbm,  # output (NUM_FIELDS, grad_cap) per-instance grads
     fbuf,
@@ -291,6 +320,19 @@ def backward_kernel(
     grad_cap: int,
     fast_grad: bool,
 ):
+    """Back-to-front re-rasterization (module docstring): windows run in
+    REVERSE order so the suffix sum S_i = sum_{j>i} gC.(w_j c_j) — amplified
+    by alpha/(1-alpha) in the opacity/power gradient — accumulates from
+    small to large with error proportional to S itself. Entering
+    transmittance is reconstructed by walking lt = log T backward from the
+    forward's lt_final residual: the in-window prefix sums (s_excl) use the
+    exact 2-pass tri matmul in BOTH modes — this kernel is VPU-bound, so
+    the extra MXU pass is essentially free (docs/PERF.md) — making the walk
+    f32-exact. The remaining contractions (suffix, colsums, g_rgb,
+    gc_dot_c) run 1-pass in fast mode (truncation error proportional to
+    each term); fast_grad=False upgrades every one to an f32-exact split,
+    so the exact mode is a true on-hardware oracle for the fast path.
+    Windows past the forward's saturation stop index are skipped outright."""
     t = pl.program_id(0)
     start = starts_ref[t]
     count = ends_ref[t] - start
@@ -300,14 +342,8 @@ def backward_kernel(
     max_chunk = fields_hbm.shape[1] // CHUNK - 1
     gbase = pl.multiple_of(grad_base_ref[t], CHUNK)
     px, py = _pixel_coords(tile_ids_ref[t], tiles_x)
-    strict, incl = _tri_matrices()
-    # tile-centered pixel coords + split moment basis (constant per tile)
-    tid = tile_ids_ref[t]
-    cx = ((tid % tiles_x) * TILE_X).astype(jnp.float32) + (TILE_X - 1) * 0.5
-    cy = ((tid // tiles_x) * TILE_Y).astype(jnp.float32) + (TILE_Y - 1) * 0.5
-    basis = _moment_basis(px - cx, py - cy)
-    basis_hi = basis.astype(jnp.bfloat16).astype(jnp.float32)
-    basis2 = jnp.concatenate([basis_hi, basis - basis_hi], axis=0)
+    strict, upper = _tri_matrices()
+    ones_row = jnp.ones((1, PIX), jnp.float32)  # colsum-as-matmul operand
 
     tot_dma = pltpu.make_async_copy(totals_hbm.at[t], tot_vmem, sems.at[3])
     g_dma = pltpu.make_async_copy(gout_hbm.at[t], g_vmem, sems.at[4])
@@ -322,28 +358,32 @@ def backward_kernel(
             sems.at[slot],
         )
 
+    w0 = niter - 1
+
     @pl.when(niter > 0)
     def _():
-        dma(0, 0).start()
-        dma(1, 1).start()
+        dma(w0 % 3, w0).start()
+        dma((w0 + 1) % 3, w0 + 1).start()
 
     tot_dma.wait()
     g_dma.wait()
 
-    c_total = tot_vmem[0:3, :]  # (3, PIX)
     t_final = tot_vmem[3:4, :]  # (1, PIX)
+    lt_final = tot_vmem[4:5, :].T  # (PIX, 1) log T after the last window
+    stop = tot_vmem[5, 0].astype(jnp.int32)  # first fwd-skipped window
     g_color = g_vmem[0:3, :]  # (3, PIX)
     g_tfin = g_vmem[3:4, :]  # (1, PIX)
-    # per-pixel constants folded once:
-    g_dot_ctotal = jnp.sum(g_color * c_total, axis=0).reshape(PIX, 1)
-    g_tfin_term = (g_tfin * t_final).T  # (PIX, 1)
+    # per-pixel constant folded once:
+    g_tfin_term = (g_tfin * t_final).T  # (PIX, 1) f32
 
-    def grad_write(slot, ci):
+    suffix_dot = _tri_dot_1pass if fast_grad else _tri_dot
+
+    def grad_write(slot, w):
         # clamp into the last chunk when the adaptive grad capacity is
         # undersized (grad_overflow is reported; the policy re-renders) —
         # never write out of bounds. Both operands are CHUNK-multiples.
         off = pl.multiple_of(
-            jnp.minimum(gbase + ci * CHUNK, grad_cap - CHUNK), CHUNK
+            jnp.minimum(gbase + w * CHUNK, grad_cap - CHUNK), CHUNK
         )
         return pltpu.make_async_copy(
             gbuf.at[slot],
@@ -352,83 +392,120 @@ def backward_kernel(
         )
 
     def body(ci, carry):
-        # gpref[p] = sum_ch gC[ch,p] * (contributions of earlier chunks)[ch,p]
-        gpref, t_carry, done = carry  # (PIX, 1), (PIX, 1), bool
+        # s_carry[p] = sum over all LATER windows of gC.(w_j c_j)[p]
+        # lt_exit[p] = log T after this window's instances (walked backward)
+        s_carry, lt_exit = carry  # (PIX, 1) f32 each
+        w = niter - 1 - ci  # window index, back to front
 
-        @pl.when(ci + 2 <= niter)
+        @pl.when(w >= 1)
         def _():
-            dma((ci + 2) % 3, ci + 2).start()
+            dma((w - 1) % 3, w - 1).start()
 
         @pl.when(ci == 0)
         def _():
-            dma(0, 0).wait()
+            dma((w + 1) % 3, w + 1).wait()
 
-        dma((ci + 1) % 3, ci + 1).wait()
+        dma(w % 3, w).wait()
 
-        f = _window(fbuf, ci, shift)
-        seg = _count_mask(ci, count)
+        f = _window(fbuf, w, shift)
+        seg = _count_mask(w, count)
         # pre-sort slot tag row: this window's real lanes keep their slot,
         # tail lanes get the >= cap sentinel so the reduction sort drops them
         presort_row = jnp.where(seg, f[PRESORT_ROW : PRESORT_ROW + 1, :],
                                 jnp.float32(cap))
+        # the forward never blended windows >= stop: tags only, and the
+        # lt walk must not cross them (their sums were never added)
+        skipped = w >= stop
 
         def compute(args):
-            gpref, t_carry = args
-            _, _, alpha, mask, capped = _chunk_alpha(f, px, py, seg)
-            ca = f[2:3, :]
-            cb = f[3:4, :]
-            cc = f[4:5, :]
+            s_carry, lt_exit = args
+            dx, dy, alpha, mask, capped = _chunk_alpha(f, px, py, seg)
+            a2 = f[2:3, :]  # pre-scaled conic rows (see per_gaussian_table)
+            b2 = f[3:4, :]
+            c2 = f[4:5, :]
             op = f[5:6, :]
             colors = f[6:9, :]  # (3, CHUNK)
 
-            prefix = _tri_dot_1pass if fast_grad else _tri_dot
             tlog = jnp.log1p(-alpha)
-            s_excl = prefix(tlog, strict)
-            t_in = t_carry * jnp.exp(s_excl)
-            live = t_in * (1.0 - alpha) >= STOP_T
-            w = jnp.where(live, alpha * t_in, 0.0)  # (PIX, CHUNK)
+            s_excl = _tri_dot(tlog, strict)  # exact: feeds the lt walk
+            rowsum = s_excl[:, CHUNK - 1 :] + tlog[:, CHUNK - 1 :]
+            lt_in = lt_exit - rowsum  # entering log-transmittance, f32
+            t_in = jnp.exp(s_excl + lt_in)
+            one_m = 1.0 - alpha
+            live = t_in * one_m >= STOP_T
+            wgt = jnp.where(live, alpha * t_in, 0.0)  # (PIX, CHUNK)
 
-            # grad color: dL/dc_i[ch] = sum_p gC[ch,p] w[p,i]
-            g_rgb = jnp.dot(g_color, w, preferred_element_type=jnp.float32)
-
+            # grad color: dL/dc_i[ch] = sum_p gC[ch,p] wgt[p,i]
             # gc_dot_c[p,i] = sum_ch gC[ch,p] c_i[ch]
-            gc_dot_c = jax.lax.dot_general(
-                g_color,  # (3, PIX)
-                colors,  # (3, CHUNK)
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (PIX, CHUNK)
+            if fast_grad:
+                g_rgb = jnp.dot(g_color, wgt, preferred_element_type=jnp.float32)
+                gc_dot_c = jax.lax.dot_general(
+                    g_color,  # (3, PIX)
+                    colors,  # (3, CHUNK)
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (PIX, CHUNK)
+            else:
+                # exact mode: neither operand of g_rgb is bf16-exact, so
+                # split both (the lo@lo term is < 2^-18 relative, dropped);
+                # the K=3 contraction runs elementwise on the VPU.
+                ghi = g_color.astype(jnp.bfloat16).astype(jnp.float32)
+                glo = g_color - ghi
+                whi = wgt.astype(jnp.bfloat16).astype(jnp.float32)
+                wlo = wgt - whi
+                d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+                g_rgb = d(ghi, whi) + d(ghi, wlo) + d(glo, whi)
+                gc_dot_c = (
+                    g_color[0:1, :].T * colors[0:1, :]
+                    + g_color[1:2, :].T * colors[1:2, :]
+                    + g_color[2:3, :].T * colors[2:3, :]
+                )  # (PIX, CHUNK)
 
-            # inclusive prefix of per-instance contribution dotted with gC
-            gwc = w * gc_dot_c  # (PIX, CHUNK)
-            gwc_prefix = prefix(gwc, incl)
-            g_suffix = g_dot_ctotal - gpref - gwc_prefix  # (PIX, CHUNK)
+            # exclusive in-window suffix of gC.(w c), plus later windows and
+            # the final-T gradient term (dT_final/dalpha_i has the same
+            # -T/(1-alpha_i) shape, so it rides the same ratio below)
+            gwc = wgt * gc_dot_c  # (PIX, CHUNK)
+            suf = suffix_dot(gwc, upper)
+            s_all = suf + (s_carry + g_tfin_term)
 
             # g_power = alpha * dL/dalpha, folded: alpha * direct == gwc
             # (direct = gc_dot_c * t_in * live), so only the suffix term
-            # needs the alpha/(1-alpha) ratio
-            g_power = gwc - (g_suffix + g_tfin_term) * (alpha / (1.0 - alpha))
-            g_power = jnp.where(mask & ~capped, g_power, 0.0)
+            # needs the alpha/(1-alpha) ratio. Masked lanes already have
+            # alpha == 0 (so gwc == ratio == 0); only the 0.99 alpha cap
+            # needs an explicit gradient block.
+            g_power = gwc - s_all * (alpha / one_m)
+            g_power = jnp.where(capped, 0.0, g_power)
 
-            # positional grads via pixel moments of g_power (see
-            # _moment_basis): with dx = xc - pxc, every pixel sum below is
-            # a polynomial in the 6 moments and per-instance (1, CHUNK)
-            # rows — one matmul replaces six colsums + their products.
-            m = _moments(basis2, g_power)  # (NUM_MOMENTS, CHUNK)
-            s0, sx, sy = m[0:1], m[1:2], m[2:3]
-            sxx, sxy, syy = m[3:4], m[4:5], m[5:6]
-            xc = f[0:1, :] - cx
-            yc = f[1:2, :] - cy
-            mx = xc * s0 - sx  # sum_p g_power * dx
-            my = yc * s0 - sy
-            mxx = xc * xc * s0 - 2.0 * xc * sx + sxx  # sum g_power * dx^2
-            mxy = xc * yc * s0 - xc * sy - yc * sx + sxy
-            myy = yc * yc * s0 - 2.0 * yc * sy + syy
-            g_x = -(ca * mx + cb * my)
-            g_y = -(cc * my + cb * mx)
-            g_ca = -0.5 * mxx
-            g_cb = -mxy
-            g_cc = -0.5 * myy
+            # positional/shape grads as DIRECT per-gaussian-centered pixel
+            # sums: every product stays proportional to its term, so the
+            # one-pass rounding is a relative perturbation (see the
+            # abandoned-moments note above _tri_matrices). Colsums run as
+            # M=1 MXU matmuls; exact mode splits the operand hi/lo like
+            # _tri_dot (ones_row is exactly bf16, so only x needs it).
+            def colsum(x):
+                return jnp.dot(ones_row, x, preferred_element_type=jnp.float32)
+
+            if not fast_grad:
+                colsum_1pass = colsum
+
+                def colsum(x):
+                    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+                    return colsum_1pass(hi) + colsum_1pass(x - hi)
+
+            gdx = g_power * dx
+            gdy = g_power * dy
+            s0 = colsum(g_power)
+            mx = colsum(gdx)  # sum_p g_power * dx
+            my = colsum(gdy)
+            mxx = colsum(gdx * dx)  # sum_p g_power * dx^2
+            mxy = colsum(gdx * dy)
+            myy = colsum(gdy * dy)
+            # grads are w.r.t. the STAGED pre-scaled conic (a', b', c'):
+            # power = a'dx^2 + b'dxdy + c'dy^2, dpower/dmean = (2a'dx + b'dy,
+            # 2c'dy + b'dx); the -0.5/-1 chain back to the true conic is
+            # applied by autodiff through per_gaussian_table.
+            g_x = 2.0 * a2 * mx + b2 * my
+            g_y = 2.0 * c2 * my + b2 * mx
             # g_op_pix = g_power / op pixelwise, so its sum is s0 / op
             g_op = s0 / jnp.maximum(op, 1e-12)
 
@@ -436,9 +513,9 @@ def backward_kernel(
                 [
                     g_x,
                     g_y,
-                    g_ca,
-                    g_cb,
-                    g_cc,
+                    mxx,
+                    mxy,
+                    myy,
                     g_op,
                     g_rgb,
                     presort_row,
@@ -446,16 +523,14 @@ def backward_kernel(
                 ],
                 axis=0,
             )
-            gpref = gpref + gwc_prefix[:, CHUNK - 1 :]
-            t_carry = t_carry * jnp.exp(
-                s_excl[:, CHUNK - 1 :] + tlog[:, CHUNK - 1 :]
-            )
-            return gpref, t_carry, gout
+            s_carry = s_carry + suf[:, 0:1] + gwc[:, 0:1]
+            return s_carry, lt_in, gout
 
-        def skip(args):
-            gpref, t_carry = args
-            # saturated: all remaining instances are dead; zero grads, but
-            # the presort tags must still be written for the reduction sort
+        def skipfn(args):
+            s_carry, lt_exit = args
+            # tags only: fwd-skipped or saturated-dead instances were never
+            # blended, so they add nothing to earlier windows' suffixes and
+            # the lt walk passes through unchanged
             gout = jnp.concatenate(
                 [
                     jnp.zeros((PRESORT_ROW, CHUNK), jnp.float32),
@@ -464,33 +539,33 @@ def backward_kernel(
                 ],
                 axis=0,
             )
-            return gpref, t_carry, gout
+            return s_carry, lt_exit, gout
 
-        gpref, t_carry, gout = jax.lax.cond(done, skip, compute, (gpref, t_carry))
-        done = jnp.max(t_carry) < EXIT_T
+        s_carry, lt_exit, gout = jax.lax.cond(
+            skipped, skipfn, compute, (s_carry, lt_exit)
+        )
 
         slot = ci % 2
 
         @pl.when(ci >= 2)
         def _():
-            grad_write(slot, ci - 2).wait()
+            grad_write(slot, niter - 1 - (ci - 2)).wait()
 
         gbuf[slot] = gout
-        grad_write(slot, ci).start()
+        grad_write(slot, w).start()
 
-        return gpref, t_carry, done
+        return s_carry, lt_exit
 
     init = (
         jnp.zeros((PIX, 1), jnp.float32),
-        jnp.ones((PIX, 1), jnp.float32),
-        jnp.zeros((), jnp.bool_),
+        lt_final,
     )
     jax.lax.fori_loop(0, niter, body, init)
 
     @pl.when(niter >= 2)
     def _():
-        grad_write((niter - 2) % 2, niter - 2).wait()
+        grad_write((niter - 2) % 2, 1).wait()
 
     @pl.when(niter >= 1)
     def _():
-        grad_write((niter - 1) % 2, niter - 1).wait()
+        grad_write((niter - 1) % 2, 0).wait()

@@ -39,9 +39,12 @@ class RasterSettings:
     # cap + 2*CHUNK*num_tiles. The adaptive policy tightens it (the backward
     # reduction sort scales with it); grad_overflow is counted when exceeded.
     grad_capacity: int = 0
-    # single-pass bf16 prefix matmuls in the BACKWARD kernel only: <= 0.2%
-    # typical gradient noise (see tiles._tri_dot_1pass) for 2 fewer MXU
-    # passes per chunk. The forward image is always computed exactly.
+    # single-pass contractions (suffix, colsums, g_rgb, gc_dot_c) in the
+    # BACKWARD kernel: their bf16 input truncation is a RELATIVE
+    # perturbation of each term (the backward's suffix ordering and exact
+    # lt walk keep it un-amplified — see tiles.py). False upgrades every
+    # one to an f32-exact hi/lo split: the backward becomes an on-hardware
+    # oracle. The transmittance walk is always exact.
     fast_grad: bool = True
 
     @property

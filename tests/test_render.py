@@ -1,5 +1,6 @@
 """Rasterizer tests: Pallas tile renderer vs pure-JAX oracle, forward and
 backward (BASELINE.json config 1: toy scene, fwd+bwd allclose)."""
+import dataclasses
 import math
 
 import jax
@@ -100,29 +101,38 @@ def test_pallas_matches_oracle_forward(use_sh):
     )
 
 
-def test_pallas_matches_oracle_gradients():
+@pytest.mark.parametrize("fast_grad", [False, True])
+def test_pallas_matches_oracle_gradients(fast_grad):
+    """Exact backward (fast_grad=False) must match the oracle tightly; the
+    fast path's 1-pass suffix/colsum matmuls truncate inputs to bf16 — a
+    relative per-term perturbation the back-to-front ordering keeps
+    un-amplified (tiles.py). On CPU interpret mode dots are true f32, so
+    both paths are near-exact here; the split documents the intended
+    tolerance classes for TPU."""
     means, cov, op, ev, colors, _ = make_scene(150)
     bg = jnp.asarray([0.0, 0.0, 0.0])
     target = jnp.zeros((3, 48, 64))
+    settings = dataclasses.replace(SETTINGS, fast_grad=fast_grad)
 
     def loss_oracle(m, c, o, e, col):
-        img = oracle_mod.render_oracle(m, c, o, e, SETTINGS, bg, colors_precomp=col)[
+        img = oracle_mod.render_oracle(m, c, o, e, settings, bg, colors_precomp=col)[
             "render"
         ]
         return ((img - target) ** 2).sum()
 
     def loss_pallas(m, c, o, e, col):
-        img = rasterizer.render(m, c, o, e, SETTINGS, bg, colors_precomp=col)["render"]
+        img = rasterizer.render(m, c, o, e, settings, bg, colors_precomp=col)["render"]
         return ((img - target) ** 2).sum()
 
     go = jax.grad(loss_oracle, argnums=(0, 1, 2, 3, 4))(means, cov, op, ev, colors)
     gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4))(means, cov, op, ev, colors)
     names = ["means", "cov", "opacity", "extrinsic", "colors"]
+    atol = 5e-2 if fast_grad else 5e-4
     for name, a, b in zip(names, go, gp):
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(a).max(), 1e-3)
         np.testing.assert_allclose(
-            b / scale, a / scale, atol=5e-4, err_msg=f"grad mismatch: {name}"
+            b / scale, a / scale, atol=atol, err_msg=f"grad mismatch: {name}"
         )
 
 
