@@ -27,10 +27,10 @@ near-opaque instances. Per-instance transmittance does not ride a
 division out of final_T (backward.cu:503, the ill-conditioned step):
 the backward walks lt = log T BACKWARD from the forward's exported
 lt_final residual — log-domain sums are finite (alpha <= 0.99) and the
-walk is f32-exact because the in-window prefix matmuls use the 2-pass
-tri split in both modes (the kernel is VPU-bound, so the extra MXU pass
-is free — docs/PERF.md). The forward's saturation early-exit index is
-exported too, so both kernels skip exactly the same windows.
+walk is f32-exact because BOTH kernels advance it with the same bitwise
+VPU lane reduction of tlog (_row_sum), independent of the tri matmuls.
+The forward's saturation early-exit index is exported too, so both
+kernels skip exactly the same windows.
 
 A bf16 backward elementwise chain was tried and reverted: Mosaic has no
 bf16 compare/exp/log1p lowerings and the remaining bf16 ops measured
@@ -98,13 +98,25 @@ def _tri_dot(x, tri):
 def _tri_dot_1pass(x, tri):
     """Single-pass x @ tri (operand truncated to bf16 by the MXU).
 
-    Used for the BACKWARD kernel's in-window SUFFIX matmul when fast_grad
-    is on: with the back-to-front accumulation order its input truncation
-    is a <= 2^-9 relative perturbation of each term, never amplified —
-    pure gradient noise under Adam, smaller than the CUDA reference's
-    nondeterministic atomicAdd ordering noise. The transmittance walk and
-    the forward image always use the exact 2-pass split."""
+    Used for the BACKWARD kernel's in-window SUFFIX and PREFIX matmuls when
+    fast_grad is on: with the back-to-front accumulation order (suffix) and
+    the exact lane-reduction lt walk (prefix — see _row_sum) the input
+    truncation is a <= 2^-9 relative perturbation of each term, never
+    amplified — pure gradient noise under Adam, smaller than the CUDA
+    reference's nondeterministic atomicAdd ordering noise. The forward
+    image always uses the exact 2-pass split."""
     return jnp.dot(x, tri, preferred_element_type=jnp.float32)
+
+
+def _row_sum(x):
+    """Exact f32 per-pixel lane reduction: (PIX, CHUNK) -> (PIX, 1).
+
+    Mosaic lowers this as log2(CHUNK) cross-lane shuffle+adds — far cheaper
+    than an MXU pass, and independent of the tri matmuls' bf16 truncation.
+    BOTH kernels advance the log-transmittance walk with this same
+    expression, so the backward's reconstruction lt_in = lt_exit - rowsum
+    retraces the forward bitwise."""
+    return jnp.sum(x, axis=1, keepdims=True)
 
 
 def interpret_mode() -> bool:
@@ -267,7 +279,7 @@ def forward_kernel(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            lt = lt + s_excl[:, CHUNK - 1 :] + tlog[:, CHUNK - 1 :]
+            lt = lt + _row_sum(tlog)
             return color, lt
 
         color, lt = jax.lax.cond(done, lambda a: a, compute, (color, lt))
@@ -325,14 +337,16 @@ def backward_kernel(
     by alpha/(1-alpha) in the opacity/power gradient — accumulates from
     small to large with error proportional to S itself. Entering
     transmittance is reconstructed by walking lt = log T backward from the
-    forward's lt_final residual: the in-window prefix sums (s_excl) use the
-    exact 2-pass tri matmul in BOTH modes — this kernel is VPU-bound, so
-    the extra MXU pass is essentially free (docs/PERF.md) — making the walk
-    f32-exact. The remaining contractions (suffix, colsums, g_rgb,
-    gc_dot_c) run 1-pass in fast mode (truncation error proportional to
-    each term); fast_grad=False upgrades every one to an f32-exact split,
-    so the exact mode is a true on-hardware oracle for the fast path.
-    Windows past the forward's saturation stop index are skipped outright."""
+    forward's lt_final residual, advanced by the same bitwise _row_sum lane
+    reduction the forward used — the walk is f32-exact independent of any
+    matmul truncation, so the in-window prefix (s_excl) and suffix matmuls
+    can run 1-pass in fast mode (their bf16 input truncation is a relative
+    per-term perturbation, never amplified). gc_dot_c is 3 VPU outer
+    products — exact in both modes and ~6x cheaper than its M=PIX MXU
+    formulation. fast_grad=False upgrades every remaining contraction
+    (prefix, suffix, colsums, g_rgb) to an f32-exact hi/lo split, so the
+    exact mode is a true on-hardware oracle for the fast path. Windows past
+    the forward's saturation stop index are skipped outright."""
     t = pl.program_id(0)
     start = starts_ref[t]
     count = ends_ref[t] - start
@@ -427,39 +441,33 @@ def backward_kernel(
             colors = f[6:9, :]  # (3, CHUNK)
 
             tlog = jnp.log1p(-alpha)
-            s_excl = _tri_dot(tlog, strict)  # exact: feeds the lt walk
-            rowsum = s_excl[:, CHUNK - 1 :] + tlog[:, CHUNK - 1 :]
-            lt_in = lt_exit - rowsum  # entering log-transmittance, f32
+            prefix_dot = _tri_dot_1pass if fast_grad else _tri_dot
+            s_excl = prefix_dot(tlog, strict)
+            lt_in = lt_exit - _row_sum(tlog)  # exact walk (see _row_sum)
             t_in = jnp.exp(s_excl + lt_in)
             one_m = 1.0 - alpha
             live = t_in * one_m >= STOP_T
             wgt = jnp.where(live, alpha * t_in, 0.0)  # (PIX, CHUNK)
 
             # grad color: dL/dc_i[ch] = sum_p gC[ch,p] wgt[p,i]
-            # gc_dot_c[p,i] = sum_ch gC[ch,p] c_i[ch]
             if fast_grad:
                 g_rgb = jnp.dot(g_color, wgt, preferred_element_type=jnp.float32)
-                gc_dot_c = jax.lax.dot_general(
-                    g_color,  # (3, PIX)
-                    colors,  # (3, CHUNK)
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (PIX, CHUNK)
             else:
-                # exact mode: neither operand of g_rgb is bf16-exact, so
-                # split both (the lo@lo term is < 2^-18 relative, dropped);
-                # the K=3 contraction runs elementwise on the VPU.
+                # exact mode: neither operand is bf16-exact, so split both
+                # (the lo@lo term is < 2^-18 relative, dropped)
                 ghi = g_color.astype(jnp.bfloat16).astype(jnp.float32)
                 glo = g_color - ghi
                 whi = wgt.astype(jnp.bfloat16).astype(jnp.float32)
                 wlo = wgt - whi
                 d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
                 g_rgb = d(ghi, whi) + d(ghi, wlo) + d(glo, whi)
-                gc_dot_c = (
-                    g_color[0:1, :].T * colors[0:1, :]
-                    + g_color[1:2, :].T * colors[1:2, :]
-                    + g_color[2:3, :].T * colors[2:3, :]
-                )  # (PIX, CHUNK)
+            # gc_dot_c[p,i] = sum_ch gC[ch,p] c_i[ch]: K=3, so three VPU
+            # outer products beat the M=PIX MXU pass ~6x AND are exact
+            gc_dot_c = (
+                g_color[0:1, :].T * colors[0:1, :]
+                + g_color[1:2, :].T * colors[1:2, :]
+                + g_color[2:3, :].T * colors[2:3, :]
+            )  # (PIX, CHUNK)
 
             # exclusive in-window suffix of gC.(w c), plus later windows and
             # the final-T gradient term (dT_final/dalpha_i has the same
