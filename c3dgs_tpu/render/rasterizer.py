@@ -291,11 +291,17 @@ blend_gaussians.defvjp(_blend_fwd, _blend_bwd)
 
 
 def assemble_image(out_tiles: jax.Array, settings: RasterSettings):
-    """(T, OUT_ROWS, PIX) tile blocks -> (color (3,H,W), final_T (H,W))."""
+    """(T, OUT_ROWS, PIX) tile blocks -> (color (3,H,W), final_T (H,W)).
+
+    Rows 4+ (the backward's lt_final/stop residuals) are sliced off BEFORE
+    the block->image transpose: XLA does not propagate the downstream slice
+    through it, so transposing all OUT_ROWS cost ~2x in both directions
+    (the VJP zero-pads the sliced rows back, which is free)."""
     ty, tx = settings.tiles_y, settings.tiles_x
-    blocks = out_tiles.reshape(ty, tx, tiles.OUT_ROWS, TILE_Y, TILE_X)
+    used = out_tiles[:, :4]
+    blocks = used.reshape(ty, tx, 4, TILE_Y, TILE_X)
     full = jnp.transpose(blocks, (2, 0, 3, 1, 4)).reshape(
-        tiles.OUT_ROWS, ty * TILE_Y, tx * TILE_X
+        4, ty * TILE_Y, tx * TILE_X
     )
     color = full[:3, : settings.height, : settings.width]
     final_t = full[3, : settings.height, : settings.width]

@@ -27,10 +27,12 @@ near-opaque instances. Per-instance transmittance does not ride a
 division out of final_T (backward.cu:503, the ill-conditioned step):
 the backward walks lt = log T BACKWARD from the forward's exported
 lt_final residual — log-domain sums are finite (alpha <= 0.99) and the
-walk is f32-exact because BOTH kernels advance it with the same bitwise
-VPU lane reduction of tlog (_row_sum), independent of the tri matmuls.
-The forward's saturation early-exit index is exported too, so both
-kernels skip exactly the same windows.
+walk is f32-accurate: the forward advances lt with the _row_sum lane
+reduction (exact, independent of the tri matmuls), the backward with the
+last column of its 2-pass prefix matmul (exact to ~1 ulp/window;
+measured, each kernel's form is the faster one for ITS op mix —
+docs/PERF.md). The forward's saturation early-exit index is exported
+too, so both kernels skip exactly the same windows.
 
 A bf16 backward elementwise chain was tried and reverted: Mosaic has no
 bf16 compare/exp/log1p lowerings and the remaining bf16 ops measured
@@ -76,6 +78,7 @@ OUT_ROWS = 8  # rows 0..2 color, 3 final_T, rest zero
 # need T*(1-a) >= STOP_T, and the background term changes by < EXIT_T)
 EXIT_T = 1e-6
 LOG_EXIT_T = math.log(EXIT_T)  # forward carry lives in log domain
+LOG_STOP_T = math.log(STOP_T)  # backward live check in log domain
 
 
 def _tri_dot(x, tri):
@@ -98,24 +101,28 @@ def _tri_dot(x, tri):
 def _tri_dot_1pass(x, tri):
     """Single-pass x @ tri (operand truncated to bf16 by the MXU).
 
-    Used for the BACKWARD kernel's in-window SUFFIX and PREFIX matmuls when
-    fast_grad is on: with the back-to-front accumulation order (suffix) and
-    the exact lane-reduction lt walk (prefix — see _row_sum) the input
-    truncation is a <= 2^-9 relative perturbation of each term, never
-    amplified — pure gradient noise under Adam, smaller than the CUDA
-    reference's nondeterministic atomicAdd ordering noise. The forward
-    image always uses the exact 2-pass split."""
+    Used for the BACKWARD kernel's in-window SUFFIX matmul when fast_grad
+    is on: with the back-to-front accumulation order its input truncation
+    is a <= 2^-9 relative perturbation of each term, never amplified —
+    pure gradient noise under Adam, smaller than the CUDA reference's
+    nondeterministic atomicAdd ordering noise. (A 1-pass FORWARD prefix
+    was also tried: zero speedup — the forward is VPU-bound on the alpha
+    evaluation, not MXU-bound — so the image keeps the exact 2-pass.)"""
     return jnp.dot(x, tri, preferred_element_type=jnp.float32)
 
 
 def _row_sum(x):
     """Exact f32 per-pixel lane reduction: (PIX, CHUNK) -> (PIX, 1).
 
-    Mosaic lowers this as log2(CHUNK) cross-lane shuffle+adds — far cheaper
-    than an MXU pass, and independent of the tri matmuls' bf16 truncation.
-    BOTH kernels advance the log-transmittance walk with this same
-    expression, so the backward's reconstruction lt_in = lt_exit - rowsum
-    retraces the forward bitwise."""
+    The FORWARD kernel advances the log-transmittance carry with this —
+    exact independent of the tri matmuls' bf16 truncation. The BACKWARD
+    walks lt with the last column of its 2-pass prefix matmul instead:
+    measured (docs/PERF.md), the lane reduction costs ~3.5 ms of VPU time
+    in the backward while the prefix slice there is free (the 2-pass
+    prefix is needed anyway); in the forward the preference flips
+    (slice 11.1 ms vs lane reduction 9.5 ms — the lane-127 slice
+    broadcast is the costly form for ITS op mix). The two rowsum forms
+    agree to ~1 ulp, so the walk reconstruction stays f32-accurate."""
     return jnp.sum(x, axis=1, keepdims=True)
 
 
@@ -337,16 +344,16 @@ def backward_kernel(
     by alpha/(1-alpha) in the opacity/power gradient — accumulates from
     small to large with error proportional to S itself. Entering
     transmittance is reconstructed by walking lt = log T backward from the
-    forward's lt_final residual, advanced by the same bitwise _row_sum lane
-    reduction the forward used — the walk is f32-exact independent of any
-    matmul truncation, so the in-window prefix (s_excl) and suffix matmuls
-    can run 1-pass in fast mode (their bf16 input truncation is a relative
-    per-term perturbation, never amplified). gc_dot_c is 3 VPU outer
-    products — exact in both modes and ~6x cheaper than its M=PIX MXU
-    formulation. fast_grad=False upgrades every remaining contraction
-    (prefix, suffix, colsums, g_rgb) to an f32-exact hi/lo split, so the
-    exact mode is a true on-hardware oracle for the fast path. Windows past
-    the forward's saturation stop index are skipped outright."""
+    forward's lt_final residual: the in-window prefix sums (s_excl) use the
+    exact 2-pass tri matmul in BOTH modes — this kernel is VPU-bound, so
+    the extra MXU pass is essentially free while the VPU lane-reduction
+    alternative costs ~4 ms (docs/PERF.md) — and the walk steps by the
+    prefix's last column (f32-exact to ~1 ulp vs the forward's _row_sum).
+    The remaining contractions (suffix, colsums, g_rgb, gc_dot_c) run
+    1-pass in fast mode (truncation error proportional to each term);
+    fast_grad=False upgrades every one to an f32-exact split, so the exact
+    mode is a true on-hardware oracle for the fast path. Windows past the
+    forward's saturation stop index are skipped outright."""
     t = pl.program_id(0)
     start = starts_ref[t]
     count = ends_ref[t] - start
@@ -441,33 +448,42 @@ def backward_kernel(
             colors = f[6:9, :]  # (3, CHUNK)
 
             tlog = jnp.log1p(-alpha)
-            prefix_dot = _tri_dot_1pass if fast_grad else _tri_dot
-            s_excl = prefix_dot(tlog, strict)
-            lt_in = lt_exit - _row_sum(tlog)  # exact walk (see _row_sum)
-            t_in = jnp.exp(s_excl + lt_in)
+            s_excl = _tri_dot(tlog, strict)  # exact: feeds the lt walk
+            rowsum = s_excl[:, CHUNK - 1 :] + tlog[:, CHUNK - 1 :]
+            lt_in = lt_exit - rowsum  # entering log-transmittance, f32
+            # live check in LOG domain (before the exp): t_in*(1-alpha)
+            # >= STOP_T  <=>  s_excl + lt_in + tlog >= log(STOP_T)
+            pre = s_excl + lt_in
+            live = pre + tlog >= LOG_STOP_T
+            t_in = jnp.exp(pre)
             one_m = 1.0 - alpha
-            live = t_in * one_m >= STOP_T
             wgt = jnp.where(live, alpha * t_in, 0.0)  # (PIX, CHUNK)
 
             # grad color: dL/dc_i[ch] = sum_p gC[ch,p] wgt[p,i]
+            # gc_dot_c[p,i] = sum_ch gC[ch,p] c_i[ch]
             if fast_grad:
                 g_rgb = jnp.dot(g_color, wgt, preferred_element_type=jnp.float32)
+                gc_dot_c = jax.lax.dot_general(
+                    g_color,  # (3, PIX)
+                    colors,  # (3, CHUNK)
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (PIX, CHUNK)
             else:
-                # exact mode: neither operand is bf16-exact, so split both
-                # (the lo@lo term is < 2^-18 relative, dropped)
+                # exact mode: neither operand of g_rgb is bf16-exact, so
+                # split both (the lo@lo term is < 2^-18 relative, dropped);
+                # the K=3 contraction runs elementwise on the VPU.
                 ghi = g_color.astype(jnp.bfloat16).astype(jnp.float32)
                 glo = g_color - ghi
                 whi = wgt.astype(jnp.bfloat16).astype(jnp.float32)
                 wlo = wgt - whi
                 d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
                 g_rgb = d(ghi, whi) + d(ghi, wlo) + d(glo, whi)
-            # gc_dot_c[p,i] = sum_ch gC[ch,p] c_i[ch]: K=3, so three VPU
-            # outer products beat the M=PIX MXU pass ~6x AND are exact
-            gc_dot_c = (
-                g_color[0:1, :].T * colors[0:1, :]
-                + g_color[1:2, :].T * colors[1:2, :]
-                + g_color[2:3, :].T * colors[2:3, :]
-            )  # (PIX, CHUNK)
+                gc_dot_c = (
+                    g_color[0:1, :].T * colors[0:1, :]
+                    + g_color[1:2, :].T * colors[1:2, :]
+                    + g_color[2:3, :].T * colors[2:3, :]
+                )  # (PIX, CHUNK)
 
             # exclusive in-window suffix of gC.(w c), plus later windows and
             # the final-T gradient term (dT_final/dalpha_i has the same
