@@ -1,0 +1,104 @@
+"""Benchmark: forward-only (inference) render ms/frame @1080p on one chip.
+
+Tracks the reference's rendering headline (3.5x vs a compute-shader
+renderer on an RTX A5000, docs/index.html:261-264 — no absolute ms exists
+in-repo, BASELINE.md). Measures BOTH render modes:
+  - dense: plain trained scene
+  - indexed: codebook-compressed scene (2^12-entry SH + shape codebooks,
+    int8 QAT observers live) — the mode the reference's claim is about.
+
+Prints one JSON line per mode. vs_baseline uses an assumed 4 ms/frame
+CUDA-class forward envelope at 300k gaussians @1080p (the reference
+publishes no number; ~250 FPS is the commonly reported ballpark for
+3DGS-class forward rendering on an A5000 at this scale).
+"""
+import json
+import math
+import os
+import time
+
+import numpy as np
+
+BASELINE_MS = 4.0
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from c3dgs_tpu.models import gaussians as gmod
+    from c3dgs_tpu.render.capacity import CapacityPolicy
+    from c3dgs_tpu.render.types import RasterSettings
+    from c3dgs_tpu.train import trainer
+
+    n = int(os.environ.get("C3DGS_BENCH_N", 300_000))
+    res = os.environ.get("C3DGS_BENCH_RES", "1920x1080")
+    width, height = (int(v) for v in res.split("x"))
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(n, 3)).astype(np.float32) * 2.0
+    pts[:, 2] += 6.0
+    cols = rng.random(size=(n, 3)).astype(np.float32)
+    scene = gmod.from_point_cloud(pts, cols, capacity=n, quantization=False)
+    scene = scene.replace(scaling_factor=scene.scaling_factor + math.log(0.15))
+
+    # indexed variant: random codebook assignments at the reference's
+    # default codebook size (arguments/__init__.py:86-92) — the render
+    # cost only depends on the gather shapes, not the codebook contents
+    k = 1 << 12
+    fidx = jnp.asarray(rng.integers(0, k, size=n), jnp.int32)
+    gidx = jnp.asarray(rng.integers(0, k, size=n), jnp.int32)
+    indexed = scene.replace(
+        features_dc=scene.features_dc[:k],
+        features_rest=scene.features_rest[:k],
+        scaling=scene.scaling[:k],
+        rotation=scene.rotation[:k],
+        feature_indices=fidx,
+        gaussian_indices=gidx,
+    )
+
+    settings = RasterSettings(
+        width=width, height=height,
+        tanfovx=math.tan(0.6), tanfovy=math.tan(0.6), sh_degree=3,
+    )
+    ev = jnp.asarray([0, 0, 0, 1, 0, 0, 0], jnp.float32)
+    bg = jnp.zeros(3)
+
+    probe_settings = CapacityPolicy(initial=1 << 21).apply(settings)
+
+    iters = int(os.environ.get("C3DGS_BENCH_ITERS", 50))
+    for name, sc in (("dense", scene), ("indexed", indexed)):
+        probe = jax.jit(
+            lambda sc=sc: trainer.render_scene(sc, ev, probe_settings, bg)[
+                "num_instances"
+            ]
+        )()
+        st = CapacityPolicy(initial=int(int(probe) * 1.12)).apply(settings)
+
+        fn = jax.jit(
+            lambda e, sc=sc, st=st: trainer.render_scene(sc, e, st, bg)["render"]
+        )
+        img = fn(ev)
+        float(jnp.sum(img))  # force through the tunnel
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            img = fn(ev)
+        float(jnp.sum(img))
+        ms = (time.perf_counter() - t0) / iters * 1000.0
+        print(
+            json.dumps(
+                {
+                    "metric": f"render_fwd_ms_per_frame_{width}x{height}_{n}g_{name}",
+                    "value": round(ms, 3),
+                    "unit": "ms",
+                    "vs_baseline": round(BASELINE_MS / ms, 3),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
