@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from .preprocess import Preprocessed
-from .types import RasterSettings
+from .types import TILE_X, TILE_Y, RasterSettings
 
 CHUNK = 128  # gaussians per kernel inner step; chunk/grad alignment
 NUM_FIELDS = 16  # instance field rows (11 used, padded for lane alignment)
@@ -109,6 +109,67 @@ def _row_gather(table: jax.Array, idx: jax.Array) -> jax.Array:
     return _ob(table[idx])
 
 
+def _tile_hit(
+    rows: jax.Array, tx: jax.Array, ty: jax.Array, settings: RasterSettings
+) -> jax.Array:
+    """Per-instance ellipse-tile intersection test: can this gaussian's
+    alpha reach the 1/255 cut anywhere inside tile (tx, ty)?
+
+    The per-gaussian rect enumerates the alpha-support BBOX (preprocess);
+    corner tiles of an elongated/diagonal splat often miss the ellipse
+    entirely, yet the reference still walks them in renderCUDA only to fail
+    the alpha cut per pixel (forward.cu:349-354). Dropping them here is
+    provably output-identical and removes ~5-10% of (gaussian, tile)
+    instances before the sort and the blend kernels.
+
+    Exact test for a PSD conic: power(d) = -½(a·dx² + c·dy²) - b·dx·dy is
+    concave, so its max over the tile's pixel box is 0 if the mean lies
+    inside, else attained on one of the 4 box edges — each a 1-D concave
+    quadratic with closed-form clamped argmax. Cull when
+    op·exp(maxpower) < 1/255 with a 1e-3 log-domain safety margin (the
+    continuous max upper-bounds every pixel-center value, so the margin
+    only guards float-rounding disagreement with the kernels' own
+    evaluation). Non-PSD rows (degenerate covariances) are always kept.
+    """
+    f32 = lambda col: jax.lax.bitcast_convert_type(rows[:, col], jnp.float32)
+    gx, gy = f32(5), f32(6)
+    a, b, c = f32(7), f32(8), f32(9)
+    op = f32(10)
+
+    psd = (a > 0.0) & (c > 0.0) & (a * c - b * b > 0.0)
+    a_s = jnp.where(psd, a, 1.0)
+    c_s = jnp.where(psd, c, 1.0)
+
+    # tile pixel box in d = pixel - mean coordinates (pixels sit at integer
+    # coords; the box upper edge clamps to the image border)
+    x0 = (tx * TILE_X).astype(jnp.float32)
+    y0 = (ty * TILE_Y).astype(jnp.float32)
+    x1 = jnp.minimum(x0 + (TILE_X - 1), float(settings.width - 1))
+    y1 = jnp.minimum(y0 + (TILE_Y - 1), float(settings.height - 1))
+    lx, hx = x0 - gx, x1 - gx
+    ly, hy = y0 - gy, y1 - gy
+
+    def power(dx, dy):
+        return -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+
+    def edge_x(e):  # dx fixed at e, dy free in [ly, hy]
+        dy = jnp.clip(-b * e / c_s, ly, hy)
+        return power(e, dy)
+
+    def edge_y(e):  # dy fixed at e, dx free in [lx, hx]
+        dx = jnp.clip(-b * e / a_s, lx, hx)
+        return power(dx, e)
+
+    maxp = jnp.maximum(
+        jnp.maximum(edge_x(lx), edge_x(hx)),
+        jnp.maximum(edge_y(ly), edge_y(hy)),
+    )
+    inside = (lx <= 0.0) & (hx >= 0.0) & (ly <= 0.0) & (hy >= 0.0)
+    maxp = jnp.where(inside, 0.0, maxp)
+    thr = -jnp.log(jnp.maximum(255.0 * op, 1e-30))
+    return (maxp >= thr - 1e-3) | ~psd
+
+
 class Binning(NamedTuple):
     """Sorted, tile-segmented instance bookkeeping (all shapes static).
 
@@ -131,10 +192,14 @@ class Binning(NamedTuple):
     grad_total: jax.Array  # () int32 total grad slots written
     emit_cum: jax.Array  # (N,) int32 inclusive prefix of per-gaussian emits
     offset: jax.Array  # (N,) int32 first emission slot (emit_cum - emit)
+    boundary_cum: jax.Array  # (N,) int32 inclusive prefix of per-gaussian
+    # KEPT (post-cull) instances — the grad-reduction segment boundaries
+    # under full tile coverage (rasterizer._reduce_instance_grads)
     num_instances: jax.Array  # () int32 true emitted instances
     overflow: jax.Array  # () int32 instances dropped (capacity)
     grad_overflow: jax.Array  # () int32 grad slots beyond grad capacity
     clipped: jax.Array  # () int32 tiles dropped (per-gaussian cap)
+    culled: jax.Array  # () int32 instances dropped by the ellipse-tile test
 
 
 def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> Binning:
@@ -171,9 +236,13 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> Binning:
     valid = slots < total
 
     # per-gaussian int32 table packed so the per-instance lookup is ONE row
-    # gather: [offset, rect_min_x, rect_min_y, rect_w, depth_q, pad...]
+    # gather (row gathers cost the same regardless of width): [offset,
+    # rect_min_x, rect_min_y, rect_w, depth_q, then bitcast f32 fields for
+    # the ellipse-tile cull: x, y, conic a/b/c, opacity]
     depth_q = quantize_depth(prep.depth, prep.radius > 0, num_tiles)
-    zeros_n = jnp.zeros(n, jnp.int32)
+    fbits = lambda v: jax.lax.bitcast_convert_type(
+        v.astype(jnp.float32), jnp.int32
+    )
     g_table = jnp.stack(
         [
             (cum - emit).astype(jnp.int32),
@@ -181,19 +250,23 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> Binning:
             prep.rect_min[:, 1],
             jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1),
             depth_q.astype(jnp.int32),
-            zeros_n,
-            zeros_n,
-            zeros_n,
+            fbits(prep.mean2d[:, 0]),
+            fbits(prep.mean2d[:, 1]),
+            fbits(prep.conic[:, 0]),
+            fbits(prep.conic[:, 1]),
+            fbits(prep.conic[:, 2]),
+            fbits(prep.opacity),
         ],
         axis=1,
     )
-    rows = _row_gather(g_table, gid_safe)  # (cap, 8)
+    rows = _row_gather(g_table, gid_safe)  # (cap, 11)
     j = slots - rows[:, 0]
     rw = rows[:, 3]
     ty = rows[:, 2] + j // rw
     tx = rows[:, 1] + j % rw
+    keep = valid & _tile_hit(rows, tx, ty, settings)
     sentinel_tile = jnp.int32(num_tiles)
-    tile_k = jnp.where(valid, ty * tiles_x + tx, sentinel_tile)
+    tile_k = jnp.where(keep, ty * tiles_x + tx, sentinel_tile)
 
     # ---- packed single int32 sort key: tile bits | quantized depth bits.
     # Stability keeps equal-key instances in gaussian order, exactly like
@@ -204,16 +277,17 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> Binning:
     levels = jnp.uint32((1 << db) - 1)
     key = (
         (tile_k.astype(jnp.uint32) << db)
-        | jnp.where(valid, rows[:, 4].astype(jnp.uint32), 0)
+        | jnp.where(keep, rows[:, 4].astype(jnp.uint32), 0)
     ).astype(jnp.int32)
     t_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     sent_key = ((t_ids.astype(jnp.uint32) << db) | levels).astype(jnp.int32)
     # ONE packed payload: (gid << j_bits) | j. Sentinels carry gid = n + t;
-    # invalid tail rows carry gid = n + T (their keys sort past everything,
-    # and the >= n high bits flag them as non-real alongside sentinels).
+    # invalid/culled rows carry gid = n + T (their keys sort past
+    # everything, and the >= n high bits flag them as non-real alongside
+    # sentinels).
     key_all = jnp.concatenate([key, sent_key])
     pj = (gid_safe << j_bits) | j
-    pj = jnp.where(valid, pj, (n + num_tiles) << j_bits)
+    pj = jnp.where(keep, pj, (n + num_tiles) << j_bits)
     pj_all = jnp.concatenate([pj, (n + t_ids) << j_bits])
 
     # lexicographic (key, pj) with pj unique and ascending in emission
@@ -249,6 +323,17 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> Binning:
     grad_total = jnp.sum(nchunks) * CHUNK
     grad_overflow = jnp.maximum(grad_total - grad_cap, 0)
 
+    # grad-reduction boundaries under full coverage: #{kept slots <
+    # emit_cum[i]} — culled instances never reach the grad buffer, so the
+    # sorted grad rows compact past them and slot-domain boundaries would
+    # misattribute (rasterizer._reduce_instance_grads)
+    kept_cum = _ob(jnp.cumsum(keep.astype(jnp.int32)))
+    cum_idx = jnp.clip(cum.astype(jnp.int32) - 1, 0, cap - 1)
+    boundary_cum = jnp.where(
+        cum > 0, _row_gather(kept_cum[:, None], cum_idx)[:, 0], 0
+    )
+    culled = jnp.sum(valid.astype(jnp.int32)) - kept_cum[-1]
+
     return Binning(
         gid_sorted=gid_s,
         j_sorted=j_s,
@@ -259,10 +344,12 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> Binning:
         grad_total=grad_total.astype(jnp.int32),
         emit_cum=cum.astype(jnp.int32),
         offset=(cum - emit).astype(jnp.int32),
+        boundary_cum=boundary_cum.astype(jnp.int32),
         num_instances=total.astype(jnp.int32),
         overflow=overflow.astype(jnp.int32),
         grad_overflow=grad_overflow.astype(jnp.int32),
         clipped=clipped.astype(jnp.int32),
+        culled=culled.astype(jnp.int32),
     )
 
 

@@ -137,7 +137,7 @@ def _blend_backward_call(
 
 
 def _reduce_instance_grads(
-    grads, emit_cum, cap: int, grad_lo, grad_hi, partial_coverage: bool
+    grads, boundaries, cap: int, grad_lo, grad_hi, partial_coverage: bool
 ):
     """(NUM_FIELDS, grad_cap) per-instance grads -> (N, NUM_FIELDS)
     per-gaussian grads.
@@ -151,21 +151,22 @@ def _reduce_instance_grads(
     kernels already sentinel-tag (and zero) foreign/dead lanes inside
     covered chunks.
 
-    Boundaries: with full coverage every emitted instance is present
-    exactly once, so after the sort instance `slot` sits at position `slot`
-    and the per-gaussian boundary counts are simply emit_cum. Under tile
-    sharding (partial_coverage=True) this device holds only its tiles'
-    instances, which the sort COMPACTS to the front — global slot
-    boundaries would misattribute grads between neighboring gaussians, so
-    the per-device boundary count #{covered slots <= emit_cum[i]-1} is
-    recovered with one rank pass over the already-sorted keys.
+    Boundaries: with full coverage every KEPT instance (binning's
+    ellipse-tile cull drops dead corner instances) is present exactly once,
+    so the sorted rows compact to slot order and the per-gaussian boundary
+    COUNTS are binning.boundary_cum (kept-instance prefix), passed here as
+    `boundaries`. Under tile sharding (partial_coverage=True) this device
+    holds only its tiles' instances — `boundaries` is then the slot-domain
+    emit_cum, and the per-device count #{covered slots <= emit_cum[i]-1}
+    is recovered with one rank pass over the already-sorted keys (which
+    also absorbs the cull's compaction).
 
     Precision note: the prefix-difference introduces O(eps * |prefix|)
     absolute error per gaussian (vs exact per-segment addition). Segment
     grads are later consumed by Adam (scale-invariant per coordinate);
     gradient-match tests vs the oracle stay within tolerance.
     """
-    n = emit_cum.shape[0]
+    n = boundaries.shape[0]
     grad_cap = grads.shape[1]
     live = NUM_USED_FIELDS
     pos = jnp.arange(grad_cap, dtype=jnp.int32)
@@ -188,9 +189,9 @@ def _reduce_instance_grads(
     d_pre = jnp.where((key_c < cap)[:, None], d_pre, 0.0)
     cs = _ob(jnp.cumsum(d_pre, axis=0))  # (cap, live)
     if partial_coverage:
-        end_pos = _rank_in_sorted(key_c, emit_cum - 1)
+        end_pos = _rank_in_sorted(key_c, boundaries - 1)
     else:
-        end_pos = emit_cum  # boundary COUNTS, nondecreasing
+        end_pos = boundaries  # kept-instance boundary COUNTS, nondecreasing
     cs_end = jnp.where(
         (end_pos > 0)[:, None],
         _ob(cs[jnp.clip(end_pos - 1, 0, cap - 1)]),
@@ -221,15 +222,17 @@ def blend_gaussians(
 
     table: (N, NUM_FIELDS) differentiable per-gaussian fields.
     bookkeeping: tuple (gid_sorted, j_sorted, starts, ends, nchunks,
-      grad_base, emit_cum) — `starts..grad_base` sliced per device when the
-      tile grid is sharded; gid_sorted/j_sorted/emit_cum always global.
+      grad_base, boundaries) — `starts..grad_base` sliced per device when
+      the tile grid is sharded; gid_sorted/j_sorted/boundaries always
+      global. `boundaries` is binning.boundary_cum (kept-instance counts)
+      under full coverage, binning.emit_cum (slot domain) under sharding.
     partial_coverage: True when this call blends only a slice of the tile
       grid (tile sharding), so the VJP must recover per-device gaussian
-      boundaries instead of using the global emit_cum.
+      boundaries by ranking slot-domain emit_cum against the sorted keys.
     tile_ids maps grid index -> global tile id (identity when unsharded).
     grad_range: (lo, hi) coverage of this call's grad writes.
     """
-    gid_sorted, j_sorted, starts, ends, nchunks, grad_base, emit_cum = (
+    gid_sorted, j_sorted, starts, ends, nchunks, grad_base, boundaries = (
         bookkeeping
     )
     fields = _build_fields(table, gid_sorted, j_sorted)
@@ -250,7 +253,7 @@ def _blend_fwd(
     tile_ids,
     grad_range,
 ):
-    gid_sorted, j_sorted, starts, ends, nchunks, grad_base, emit_cum = (
+    gid_sorted, j_sorted, starts, ends, nchunks, grad_base, boundaries = (
         bookkeeping
     )
     fields = _build_fields(table, gid_sorted, j_sorted)
@@ -265,7 +268,7 @@ def _blend_bwd(
     tiles_x, num_tiles, cap, grad_cap, partial_coverage, fast_grad, res, g
 ):
     fields, bookkeeping, tile_ids, grad_range, out = res
-    _, _, starts, ends, nchunks, grad_base, emit_cum = bookkeeping
+    _, _, starts, ends, nchunks, grad_base, boundaries = bookkeeping
     grads = _blend_backward_call(
         tiles_x,
         num_tiles,
@@ -282,7 +285,7 @@ def _blend_bwd(
         g,
     )
     d_table = _reduce_instance_grads(
-        grads, emit_cum, cap, grad_range[0], grad_range[1], partial_coverage
+        grads, boundaries, cap, grad_range[0], grad_range[1], partial_coverage
     )
     return d_table, None, None, None
 
@@ -357,7 +360,7 @@ def render(
             binning.ends,
             binning.nchunks,
             binning.grad_base,
-            binning.emit_cum,
+            binning.boundary_cum,
         ),
         jnp.arange(settings.num_tiles, dtype=jnp.int32),
         (jnp.int32(0), binning.grad_total),
@@ -374,4 +377,5 @@ def render(
         "grad_total": binning.grad_total,
         "grad_overflow": binning.grad_overflow,
         "clipped": binning.clipped,
+        "culled": binning.culled,
     }

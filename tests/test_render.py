@@ -70,7 +70,14 @@ def test_binning_consistency():
     assert starts[0] == 0
     assert (starts[1:] == ends[:-1] + 1).all()
     assert (ends >= starts).all()
-    assert int((ends - starts).sum()) == int(b.num_instances)
+    # segments hold the kept instances; the ellipse-tile cull drops dead
+    # bbox-corner instances (counted, never more than emitted)
+    assert 0 <= int(b.culled) < int(b.num_instances)
+    assert int((ends - starts).sum()) == int(b.num_instances) - int(b.culled)
+    # kept-instance boundary prefix is consistent with the kept total
+    bc = np.asarray(b.boundary_cum)
+    assert (np.diff(bc) >= 0).all()
+    assert bc[-1] == int(b.num_instances) - int(b.culled)
     # one kernel iteration (shifted window) per CHUNK real instances
     ne = ends > starts
     assert (nchunks == -(-(ends - starts) // 128)).all()
