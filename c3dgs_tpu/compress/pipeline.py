@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -178,13 +179,24 @@ def compress_gaussians(
     return scene
 
 
-def to_compressed(scene, cameras, comp_params, silent: bool = False):
+def to_compressed(
+    scene, cameras, comp_params, silent: bool = False, timings: dict = None
+):
     """GaussianModel.to_compressed (gaussian_model.py:954-991): importance ->
-    settings -> compress. comp_params: config.CompressionParams."""
+    settings -> compress. comp_params: config.CompressionParams.
+
+    `timings`, if given, receives the reference's times.json stage split:
+    sensitivity_calculation vs clustering (compress.py:218-292)."""
+    import time
+
     from .importance import calc_importance
 
+    t0 = time.time()
     scene = scene.to_unindexed().compact()
     color_imp, gaussian_sens = calc_importance(scene, cameras, use_gt=True)
+    jax.block_until_ready(gaussian_sens)
+    if timings is not None:
+        timings["sensitivity_calculation"] = time.time() - t0
     color_importance_n = np.asarray(color_imp).max(-1)
     gaussian_importance_n = np.asarray(gaussian_sens).max(-1)
 

@@ -202,6 +202,37 @@ def train_step(
     return new_state, metrics
 
 
+def grow_capacity(state: TrainState, new_capacity: int) -> TrainState:
+    """Grow the row budget WITHOUT resetting optimizer state.
+
+    The reference zero-pads exp_avg/exp_avg_sq alongside the new parameter
+    rows (cat_tensors_to_optimizer, gaussian_model.py:1161-1185) so existing
+    splats keep their Adam moments; this is the functional equivalent:
+    pad scene rows (inactive), zero-pad mu/nu leaves, zero-pad densify
+    stats, preserve Adam count/step."""
+    cur = state.scene.capacity
+    extra = new_capacity - cur
+    if extra <= 0:
+        return state
+    scene = state.scene.pad_to_capacity(new_capacity)
+
+    def pad_leaf(v):
+        widths = [(0, extra)] + [(0, 0)] * (v.ndim - 1)
+        return jnp.pad(v, widths)
+
+    adam_state, step = state.opt_state
+    adam_state = adam_state._replace(
+        mu={k: pad_leaf(v) for k, v in adam_state.mu.items()},
+        nu={k: pad_leaf(v) for k, v in adam_state.nu.items()},
+    )
+    stats = D.DensifyStats(
+        xyz_gradient_accum=pad_leaf(state.stats.xyz_gradient_accum),
+        denom=pad_leaf(state.stats.denom),
+        max_radii2d=pad_leaf(state.stats.max_radii2d),
+    )
+    return state._replace(scene=scene, opt_state=(adam_state, step), stats=stats)
+
+
 def zero_moments_at(opt_state, written: jax.Array, fields=None):
     """Zero Adam moments for rewritten slots (the functional analog of the
     reference's optimizer surgery, gaussian_model.py:1061-1185)."""

@@ -50,8 +50,12 @@ def run_vq(model_p, opt_p, pipe_p, comp_p):
 
     t0 = time.time()
     cams, split = scene.get_some_cameras()
-    compressed = to_compressed(gaussians, cams, comp_p)
-    timings["sensitivity_and_clustering"] = time.time() - t0
+    compressed = to_compressed(gaussians, cams, comp_p, timings=timings)
+    # reference splits sensitivity_calculation vs clustering
+    # (compress.py:218-292); to_compressed filled the former
+    timings["clustering"] = (
+        time.time() - t0 - timings.get("sensitivity_calculation", 0.0)
+    )
 
     save_config(
         out_dir,

@@ -103,9 +103,41 @@ def test_capacity_growth_roundtrip():
     scene = toy_scene(n=60, cap=64)
     opt = OptimizationParams()
     state = trainer.create_train_state(scene, opt, 1.0)
-    big_scene = state.scene.pad_to_capacity(128)
-    state = trainer.create_train_state(big_scene, opt, 1.0)
+    state = trainer.grow_capacity(state, 128)
     assert state.scene.capacity == 128
     target = jnp.zeros((3, 32, 32))
+    state, metrics = trainer.train_step(state, EV, target, SET, BG, opt, 1.0)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_capacity_growth_preserves_adam_moments():
+    """Growth must NOT reset existing splats' optimizer state — the
+    reference zero-pads only the new rows (gaussian_model.py:1161-1185)."""
+    scene = toy_scene(n=60, cap=64)
+    opt = OptimizationParams()
+    state = trainer.create_train_state(scene, opt, 1.0)
+    target = jnp.zeros((3, 32, 32))
+    for _ in range(3):
+        state, _ = trainer.train_step(state, EV, target, SET, BG, opt, 1.0)
+    adam_before, step_before = state.opt_state
+    state = trainer.grow_capacity(state, 128)
+    adam_after, step_after = state.opt_state
+    assert int(step_after) == int(step_before)
+    assert int(adam_after.count) == int(adam_before.count)
+    for k in adam_before.mu:
+        mu_b, mu_a = adam_before.mu[k], adam_after.mu[k]
+        nu_b, nu_a = adam_before.nu[k], adam_after.nu[k]
+        assert mu_a.shape[0] == 128 and nu_a.shape[0] == 128
+        # existing rows preserved bit-exactly, new rows zero
+        np.testing.assert_array_equal(np.asarray(mu_a[:64]), np.asarray(mu_b))
+        np.testing.assert_array_equal(np.asarray(nu_a[:64]), np.asarray(nu_b))
+        assert not np.any(np.asarray(mu_a[64:]))
+        assert not np.any(np.asarray(nu_a[64:]))
+    # moments after warm steps are actually nonzero for a field that gets
+    # gradient at sh_degree=0 (the test would pass vacuously otherwise)
+    assert np.any(np.asarray(adam_before.mu["xyz"]) != 0)
+    # densify stats padded, not reset
+    assert state.stats.denom.shape == (128,)
+    # training continues finitely at the new capacity
     state, metrics = trainer.train_step(state, EV, target, SET, BG, opt, 1.0)
     assert np.isfinite(float(metrics["loss"]))

@@ -81,10 +81,11 @@ def training(model_p, opt_p, pipe_p, save_epochs=(), quantization=True):
         if epoch % 3 == 0 and epoch > 0 and epoch < 0.75 * opt_p.epochs:
             free = state.scene.capacity - n_active
             if free < max(1024, n_active // 4):
-                grown = state.scene.pad_to_capacity(state.scene.capacity * 2)
-                state = trainer.create_train_state(
-                    grown, opt_p, spatial_lr_scale
-                )._replace(step=state.step)
+                # grow WITHOUT nuking Adam moments of existing splats
+                # (gaussian_model.py:1161-1185 preserves them; so do we)
+                state = trainer.grow_capacity(
+                    state, state.scene.capacity * 2
+                )
             state, dropped = trainer.densify_step(
                 state, scene.cameras_extent, opt_p
             )
