@@ -200,6 +200,17 @@ class Binning(NamedTuple):
     grad_overflow: jax.Array  # () int32 grad slots beyond grad capacity
     clipped: jax.Array  # () int32 tiles dropped (per-gaussian cap)
     culled: jax.Array  # () int32 instances dropped by the ellipse-tile test
+    # ---- packed-chunk kernel bookkeeping (tiles_packed.py): the kernels
+    # iterate aligned CHUNK-slot windows of the sorted array directly, so
+    # per-tile grouping rides these instead of per-tile windows:
+    tid_sorted: jax.Array  # (cap,) int32 tile of each sorted slot (sentinel
+    # rows carry their tile; invalid/culled rows carry num_tiles)
+    tile_lo: jax.Array  # (cap//CHUNK + 1,) int32: #tiles whose sentinel lies
+    # before chunk c — tiles [tile_lo[c], tile_lo[c+1]) flush in chunk c
+    chunks_exec: jax.Array  # () int32 chunks covering all sentinels (>= 1)
+    perm: jax.Array  # (cap,) int32 sorted-slot permutation to gaussian-major
+    # (pre-sort) order; sentinel/invalid slots sort to the tail. Replaces the
+    # backward reduction's f32 key sort (rasterizer._reduce_instance_grads)
 
 
 def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> Binning:
@@ -293,11 +304,23 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> Binning:
     # lexicographic (key, pj) with pj unique and ascending in emission
     # order == stable-by-key, without the hidden iota tiebreaker a stable
     # sort materializes
-    _, pj_s = jax.lax.sort((key_all, pj_all), num_keys=2, is_stable=False)
+    key_s, pj_s = jax.lax.sort((key_all, pj_all), num_keys=2, is_stable=False)
     pj_s = _ob(pj_s[:cap])
+    # tile of each sorted slot, free from the sorted key's high bits.
+    # Sentinel rows are forced to num_tiles like invalid/culled rows: the
+    # packed kernels treat tid >= num_tiles as dead lanes (their grouping
+    # rides tile_lo, not the tid row)
     gid_s = jnp.minimum(pj_s >> j_bits, n - 1)
     j_s = pj_s & ((1 << j_bits) - 1)
     is_sent = pj_s >= (n << j_bits)
+    tid_sorted = jnp.where(
+        is_sent,
+        jnp.int32(num_tiles),
+        jnp.minimum(
+            (key_s[:cap].astype(jnp.uint32) >> db).astype(jnp.int32),
+            jnp.int32(num_tiles),
+        ),
+    )
 
     # ---- tile ranges from sentinel positions: the main sort already put
     # sentinels in tile order (their keys ascend with tile), so compacting
@@ -334,6 +357,21 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> Binning:
     )
     culled = jnp.sum(valid.astype(jnp.int32)) - kept_cum[-1]
 
+    # ---- packed-chunk bookkeeping: the packed kernels walk aligned CHUNK
+    # windows of the sorted array; tiles flush at their sentinel lane, so
+    # per-chunk tile ranges are ranks of chunk starts among sentinel
+    # positions (`ends`, strictly increasing).
+    nc = cap // CHUNK
+    chunk_starts = jnp.arange(nc + 1, dtype=jnp.int32) * CHUNK
+    tile_lo = _rank_in_sorted(ends + 1, chunk_starts)  # #{ends < c*CHUNK}
+    chunks_exec = (ends[num_tiles - 1] + 1 + CHUNK - 1) // CHUNK
+    # inverse permutation to gaussian-major order: grad row of sorted slot s
+    # lands at position rank(pj_s[s]); sentinels/invalid sort to the tail
+    _, perm = jax.lax.sort(
+        (pj_s, jnp.arange(cap, dtype=jnp.int32)), num_keys=2, is_stable=False
+    )
+    perm = _ob(perm)
+
     return Binning(
         gid_sorted=gid_s,
         j_sorted=j_s,
@@ -350,6 +388,10 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> Binning:
         grad_overflow=grad_overflow.astype(jnp.int32),
         clipped=clipped.astype(jnp.int32),
         culled=culled.astype(jnp.int32),
+        tid_sorted=tid_sorted,
+        tile_lo=tile_lo.astype(jnp.int32),
+        chunks_exec=chunks_exec.astype(jnp.int32),
+        perm=perm,
     )
 
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import tiles
+from . import tiles, tiles_packed
 from .binning import (
     CHUNK,
     NUM_FIELDS,
@@ -57,6 +57,157 @@ def _build_fields(table: jax.Array, gid_sorted: jax.Array, j_sorted: jax.Array):
     presort = rows[:, OFFSET_ROW] + j_sorted.astype(jnp.float32)
     rows = rows.at[:, PRESORT_ROW].set(presort)
     return rows.T
+
+
+def _build_fields_packed(table, gid_sorted, tid_sorted, tiles_x: int, num_tiles: int):
+    """(N, NUM_FIELDS) table -> (NUM_FIELDS, cap) staged sorted instance
+    fields for the PACKED kernels: means become TILE-LOCAL (so one local
+    pixel-coordinate set serves lanes of different tiles inside a shared
+    chunk), dead lanes (sentinel / invalid / culled, tid == num_tiles) get
+    opacity 0, and row TID_ROW carries the lane's tile id."""
+    rows = _ob(table[gid_sorted])  # (cap, NUM_FIELDS) ONE row gather
+    tid = tid_sorted
+    ox = ((tid % tiles_x) * TILE_X).astype(rows.dtype)
+    oy = ((tid // tiles_x) * TILE_Y).astype(rows.dtype)
+    dead = tid >= num_tiles
+    rows = rows.at[:, 0].add(-ox)
+    rows = rows.at[:, 1].add(-oy)
+    rows = rows.at[:, 5].set(jnp.where(dead, 0.0, rows[:, 5]))
+    rows = rows.at[:, tiles_packed.TID_ROW].set(tid.astype(rows.dtype))
+    return rows.T
+
+
+def _blend_forward_call_packed(num_tiles: int, cap: int, fields, tile_lo, meta):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(cap // CHUNK,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, NUM_FIELDS, CHUNK), jnp.float32),  # fbuf
+            pltpu.VMEM((2, tiles.OUT_ROWS, tiles.PIX), jnp.float32),  # obuf
+            pltpu.VMEM((tiles.PIX, 3), jnp.float32),  # carry_c
+            pltpu.VMEM((tiles.PIX, 1), jnp.float32),  # carry_lt
+            pltpu.SMEM((1,), jnp.int32),  # frz
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        tiles_packed.forward_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (num_tiles, tiles.OUT_ROWS, tiles.PIX), jnp.float32
+        ),
+        interpret=tiles.interpret_mode(),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(tile_lo, meta, fields)
+
+
+def _blend_backward_call_packed(
+    num_tiles: int, cap: int, fast_grad: bool, fields, tile_lo, meta, totals, gout
+):
+    kernel = functools.partial(
+        tiles_packed.backward_kernel, fast_grad=fast_grad
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(cap // CHUNK,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # fields
+            pl.BlockSpec(memory_space=pltpu.ANY),  # totals
+            pl.BlockSpec(memory_space=pltpu.ANY),  # gout
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, NUM_FIELDS, CHUNK), jnp.float32),  # fbuf
+            pltpu.VMEM((2, tiles.OUT_ROWS, tiles.PIX), jnp.float32),  # tbuf
+            pltpu.VMEM((2, tiles.OUT_ROWS, tiles.PIX), jnp.float32),  # gbuf
+            pltpu.VMEM((tiles.OUT_ROWS, tiles.PIX), jnp.float32),  # t_open
+            pltpu.VMEM((tiles.OUT_ROWS, tiles.PIX), jnp.float32),  # g_open
+            pltpu.VMEM((2, NUM_FIELDS, CHUNK), jnp.float32),  # wbuf
+            pltpu.VMEM((tiles.PIX, 1), jnp.float32),  # s_carry
+            pltpu.VMEM((tiles.PIX, 1), jnp.float32),  # lt_carry
+            pltpu.SemaphoreType.DMA((2,)),  # fields
+            pltpu.SemaphoreType.DMA((2,)),  # totals
+            pltpu.SemaphoreType.DMA((2,)),  # gout
+            pltpu.SemaphoreType.DMA((2,)),  # grad writes
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NUM_FIELDS, cap), jnp.float32),
+        interpret=tiles.interpret_mode(),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(tile_lo, meta, fields, totals, gout)
+
+
+def _reduce_instance_grads_packed(grads, perm, boundaries, cap: int):
+    """(NUM_FIELDS, cap) slot-aligned grads -> (N, NUM_FIELDS) per-gaussian.
+
+    The packed kernels write one grad row per SORTED SLOT, so the
+    gaussian-major reordering is the precomputed binning permutation (one
+    int32 sort there replaces the round-1 reduction's f32 (key, pos) sort
+    here); per-gaussian sums are prefix differences at the kept-instance
+    boundaries. Rows past kept_total are sentinel/invalid slots (zeros) or
+    unexecuted-chunk garbage — masked before the cumsum."""
+    live = NUM_USED_FIELDS
+    n = boundaries.shape[0]
+    rows_all = _ob(grads.T)  # (cap, NUM_FIELDS)
+    d_pre = _ob(rows_all[perm])[:, :live]
+    kept_total = boundaries[-1]
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    d_pre = jnp.where((idx < kept_total)[:, None], d_pre, 0.0)
+    cs = _ob(jnp.cumsum(d_pre, axis=0))
+    cs_end = jnp.where(
+        (boundaries > 0)[:, None],
+        _ob(cs[jnp.clip(boundaries - 1, 0, cap - 1)]),
+        0.0,
+    )
+    prev = jnp.concatenate([jnp.zeros((1, live), cs.dtype), cs_end[:-1]], 0)
+    seg = cs_end - prev
+    return jnp.concatenate(
+        [seg, jnp.zeros((n, NUM_FIELDS - live), seg.dtype)], axis=1
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def blend_gaussians_packed(
+    tiles_x: int,
+    num_tiles: int,
+    cap: int,
+    fast_grad: bool,
+    table,
+    bookkeeping,
+):
+    """Packed-chunk stage + alpha-composite (render/tiles_packed.py).
+    Returns (T, OUT_ROWS, PIX) tile blocks like blend_gaussians.
+
+    bookkeeping: (gid_sorted, tid_sorted, tile_lo, meta, perm, boundaries)
+    with meta = [chunks_exec, tile_start, tile_end, cap] int32."""
+    gid_sorted, tid_sorted, tile_lo, meta, perm, boundaries = bookkeeping
+    fields = _build_fields_packed(table, gid_sorted, tid_sorted, tiles_x, num_tiles)
+    return _blend_forward_call_packed(num_tiles, cap, fields, tile_lo, meta)
+
+
+def _blend_packed_fwd(tiles_x, num_tiles, cap, fast_grad, table, bookkeeping):
+    gid_sorted, tid_sorted, tile_lo, meta, perm, boundaries = bookkeeping
+    fields = _build_fields_packed(table, gid_sorted, tid_sorted, tiles_x, num_tiles)
+    out = _blend_forward_call_packed(num_tiles, cap, fields, tile_lo, meta)
+    return out, (fields, tile_lo, meta, perm, boundaries, out)
+
+
+def _blend_packed_bwd(tiles_x, num_tiles, cap, fast_grad, res, g):
+    fields, tile_lo, meta, perm, boundaries, out = res
+    grads = _blend_backward_call_packed(
+        num_tiles, cap, fast_grad, fields, tile_lo, meta, out, g
+    )
+    d_table = _reduce_instance_grads_packed(grads, perm, boundaries, cap)
+    return d_table, None
+
+
+blend_gaussians_packed.defvjp(_blend_packed_fwd, _blend_packed_bwd)
 
 
 def _blend_forward_call(
@@ -345,6 +496,44 @@ def render(
     n = means3d.shape[0]
     cap, _ = settings.resolve_caps(n)
     grad_cap = settings.resolve_grad_cap(n)
+    if settings.packed:
+        meta = jnp.stack(
+            [
+                binning.chunks_exec,
+                jnp.int32(0),
+                jnp.int32(settings.num_tiles),
+                jnp.int32(cap),
+            ]
+        )
+        out_tiles = blend_gaussians_packed(
+            settings.tiles_x,
+            settings.num_tiles,
+            cap,
+            settings.fast_grad,
+            table,
+            (
+                binning.gid_sorted,
+                binning.tid_sorted,
+                binning.tile_lo,
+                meta,
+                binning.perm,
+                binning.boundary_cum,
+            ),
+        )
+        color, final_t = assemble_image(out_tiles, settings)
+        image = color + final_t[None] * bg[:, None, None]
+        return {
+            "render": image,
+            "final_T": final_t,
+            "radii": prep.radius,
+            "visibility_filter": prep.radius > 0,
+            "num_instances": binning.num_instances,
+            "overflow": binning.overflow,
+            "grad_total": binning.chunks_exec * CHUNK,
+            "grad_overflow": jnp.int32(0),
+            "clipped": binning.clipped,
+            "culled": binning.culled,
+        }
     out_tiles = blend_gaussians(
         settings.tiles_x,
         settings.num_tiles,

@@ -1,0 +1,535 @@
+"""Packed-chunk Pallas TPU kernels: forward + backward alpha compositing.
+
+Round-2 redesign of tiles.py (kept during bring-up as the reference
+implementation). The per-tile kernels there iterate ceil(count/CHUNK)
+windows per tile, so every tile pays a remainder window — ~37% of kernel
+iterations were partially-masked lanes on the 1080p/300k bench
+(docs/PERF.md). Here the grid walks the ALIGNED 128-slot chunks of the
+global sorted instance array directly: every iteration holds CHUNK real
+instances, tile boundaries land *inside* chunks and are handled by
+group-masked triangular matmuls + per-group output flushes.
+
+Key mechanics (bookkeeping from binning.bin_gaussians):
+- the sorted array is [tile segments..., one sentinel lane per tile at the
+  segment end, invalid tail]; tiles therefore FLUSH (emit their output
+  block) at their sentinel lane, in ascending tile order;
+- `tile_lo[c]` = #tiles whose sentinel lies before chunk c, so chunk c
+  flushes tiles [tile_lo[c], tile_lo[c+1]) and its lanes group as
+  grp = tid - tile_lo[c] (a staged field row carries tid; sentinel /
+  invalid / culled lanes carry tid = num_tiles and staged opacity 0);
+- gaussian means are staged TILE-LOCAL (x - tile_origin_x), so one local
+  pixel-coordinate set serves every lane regardless of which tile it
+  belongs to — the reason one chunk can serve many tiles at once;
+- in-chunk prefix/suffix transmittance sums use the triangular ones matrix
+  masked by same-group (still exactly bf16, so the 2-pass hi/lo split of
+  tiles._tri_dot stays exact); the cross-chunk carry applies to group 0
+  only (only the first group can span backward — every other group's
+  segment starts inside the chunk, because its predecessor's sentinel is
+  in the same chunk);
+- gradients are written one row per SORTED SLOT at chunk-aligned offsets
+  (grad buffer == instance capacity, no per-tile chunk cover, no pre-sort
+  tag row): the reduction to per-gaussian grads is a precomputed int32
+  permutation (binning.perm) + cumsum — the f32 (key, pos) sort of the
+  round-1 reduction disappears;
+- saturation early-exit becomes a per-tile FREEZE: between chunks, if no
+  flush is pending and every pixel's log-transmittance is below
+  log(1e-6), the forward freezes the open tile (skips whole chunks,
+  stops advancing lt) and exports the freeze START SLOT in output row 5;
+  the backward dead-masks lanes with slot >= freeze[tile] — bit-identical
+  skip sets, like round-1's per-tile stop index but at slot granularity.
+
+Same numerics as tiles.py everywhere else: back-to-front backward with
+suffix-carry, exact log-domain lt walk from the exported lt_final, alpha
+cap/min semantics, fast_grad tolerance classes. Reference semantics:
+forward.cu:270-383 / backward.cu:398-557 (see tiles.py's docstring for
+the documented divergences).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .binning import CHUNK, NUM_FIELDS
+from .tiles import (
+    LOG_EXIT_T,
+    LOG_STOP_T,
+    MAX_ALPHA,
+    MIN_ALPHA,
+    OUT_ROWS,
+    PIX,
+    STOP_T,
+    _tri_dot,
+    _tri_dot_1pass,
+    _row_sum,
+)
+from .types import TILE_X, TILE_Y
+
+TID_ROW = 9  # staged field row carrying the lane's tile id (f32 exact)
+
+
+def _local_pixel_coords():
+    """Tile-local pixel x/y, (PIX, 1) f32 — lanes carry tile-local means, so
+    these serve every lane of every tile."""
+    pix = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    px = (pix % TILE_X).astype(jnp.float32)
+    py = (pix // TILE_X).astype(jnp.float32)
+    return px, py
+
+
+def _group_ids(f, lo):
+    """(1, CHUNK) f32 group index per lane: tid - tile_lo[c]. Sentinel /
+    invalid lanes carry tid = num_tiles, putting them past every real
+    group (they are dead anyway: staged opacity 0)."""
+    return f[TID_ROW : TID_ROW + 1, :] - jnp.float32(1.0) * lo.astype(
+        jnp.float32
+    )
+
+
+def _masked_tris(grp):
+    """Group-masked (CHUNK, CHUNK) ones matrices: strict-lower prefix and
+    strict-upper suffix restricted to same-group lanes. Entries are 0/1 —
+    exactly bf16 — so _tri_dot's 2-pass split stays exact."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    same = grp.reshape(CHUNK, 1) == grp.reshape(1, CHUNK)
+    strict = ((row < col) & same).astype(jnp.float32)
+    upper = ((row > col) & same).astype(jnp.float32)
+    return strict, upper
+
+
+def _chunk_alpha_packed(f, px, py, op_eff):
+    """Alpha evaluation for one aligned chunk (cf. tiles._chunk_alpha).
+    op_eff is the lane opacity row with dead lanes (foreign / frozen /
+    sentinel / invalid) already zeroed — deadness rides opacity, so alpha,
+    tlog, and every gradient of a dead lane are exactly 0."""
+    x = f[0:1, :]
+    y = f[1:2, :]
+    a2 = f[2:3, :]
+    b2 = f[3:4, :]
+    c2 = f[4:5, :]
+    dx = x - px
+    dy = y - py
+    power = jnp.minimum((a2 * dx + b2 * dy) * dx + (c2 * dy) * dy, 0.0)
+    raw = op_eff * jnp.exp(power)
+    capped = raw > MAX_ALPHA
+    alpha = jnp.minimum(MAX_ALPHA, raw)
+    alpha = jnp.where(raw >= MIN_ALPHA, alpha, 0.0)
+    return dx, dy, alpha, capped
+
+
+def forward_kernel(
+    tile_lo_ref,  # (NC+1,) int32 first unflushed tile per chunk boundary
+    meta_ref,  # (4,) int32: [chunks_exec, tile_start, tile_end, cap]
+    fields_hbm,  # (NUM_FIELDS, cap) staged sorted instance fields
+    out_hbm,  # (T, OUT_ROWS, PIX) per-tile output blocks (manual DMA)
+    fbuf,  # VMEM (2, NUM_FIELDS, CHUNK)
+    obuf,  # VMEM (2, OUT_ROWS, PIX) flush staging ring
+    carry_c,  # VMEM (PIX, 3) open tile's color accumulator
+    carry_lt,  # VMEM (PIX, 1) open tile's log-transmittance
+    frz,  # SMEM (1,) freeze start slot of the open tile, -1 = live
+    sems,  # DMA (2,) fields
+    osems,  # DMA (2,) out
+):
+    """Packed forward. Grid = cap//CHUNK; chunks >= chunks_exec no-op.
+
+    `tile_start`/`tile_end` bound this device's tile ownership under tile
+    sharding (parallel/sharded.py): lanes of foreign tiles are dead-masked
+    and their flushes skipped; single-device rendering passes [0, T)."""
+    c = pl.program_id(0)
+    nchunks = meta_ref[0]
+    tile_start = meta_ref[1]
+    tile_end = meta_ref[2]
+    cap = meta_ref[3]
+    max_chunk = pl.num_programs(0) - 1
+
+    def dma(slot, i):
+        i = jnp.minimum(i, max_chunk)
+        return pltpu.make_async_copy(
+            fields_hbm.at[:, pl.ds(pl.multiple_of(i * CHUNK, CHUNK), CHUNK)],
+            fbuf.at[slot],
+            sems.at[slot],
+        )
+
+    def out_dma(slot, t):
+        return pltpu.make_async_copy(obuf.at[slot], out_hbm.at[t], osems.at[slot])
+
+    @pl.when(c == 0)
+    def _():
+        carry_c[...] = jnp.zeros((PIX, 3), jnp.float32)
+        carry_lt[...] = jnp.zeros((PIX, 1), jnp.float32)
+        frz[0] = -1
+        dma(0, 0).start()
+
+        @pl.when(nchunks >= 2)
+        def _():
+            dma(1, 1).start()
+
+    @pl.when(c < nchunks)
+    def _body():
+        @pl.when((c + 2 <= nchunks) & (c > 0))
+        def _():
+            dma((c + 1) % 2, c + 1).start()
+
+        dma(c % 2, c).wait()
+        f = fbuf[c % 2]
+
+        lo = jnp.maximum(tile_lo_ref[c], tile_start)
+        hi = jnp.minimum(tile_lo_ref[c + 1], tile_end)
+        ng = jnp.maximum(hi - lo, 0)
+        slot0 = c * CHUNK
+        frz0 = frz[0]
+
+        # freeze: open tile saturated everywhere and no flush pending —
+        # skip the chunk entirely; lt stops advancing (exported below so
+        # the backward skips the same lanes)
+        frozen = (ng == 0) & (jnp.max(carry_lt[...]) < LOG_EXIT_T)
+
+        @pl.when(frozen & (frz0 < 0))
+        def _():
+            frz[0] = slot0
+
+        @pl.when(~frozen)
+        def _compute():
+            px, py = _local_pixel_coords()
+            grp = _group_ids(f, lo)
+            # dead lanes: frozen open tile's remainder + foreign tiles
+            # under sharding (tid outside [tile_start, tile_end));
+            # sentinel/invalid lanes are dead via staged opacity 0
+            tid = f[TID_ROW : TID_ROW + 1, :]
+            dead = (grp < 0.0) | (tid >= jnp.float32(1.0) * tile_end)
+            dead = dead | ((frz0 >= 0) & (grp == 0.0))
+            op_eff = jnp.where(dead, 0.0, f[5:6, :])
+            dx, dy, alpha, _ = _chunk_alpha_packed(f, px, py, op_eff)
+            del dx, dy
+            tlog = jnp.log1p(-alpha)
+            strictM, _ = _masked_tris(grp)
+            s_excl = _tri_dot(tlog, strictM)
+            lt_in = s_excl + carry_lt[...] * (grp == 0.0)
+            t_in = jnp.exp(lt_in)
+            live = t_in * (1.0 - alpha) >= STOP_T
+            w = jnp.where(live, alpha * t_in, 0.0)
+            colors = f[6:9, :]
+
+            def group_color(mask):
+                return jax.lax.dot_general(
+                    w * mask,
+                    colors,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            def flush(g, _):
+                t = lo + g
+                mg = (grp == g.astype(jnp.float32))
+                sel0 = jnp.where(g == 0, 1.0, 0.0)
+                col = group_color(mg) + sel0 * carry_c[...]
+                lt = _row_sum(tlog * mg) + sel0 * carry_lt[...]
+                fz = jnp.where((g == 0) & (frz0 >= 0), frz0, cap)
+
+                @pl.when(t >= tile_start + 2)
+                def _():
+                    out_dma((t - 2) % 2, t - 2).wait()
+
+                obuf[t % 2] = jnp.concatenate(
+                    [
+                        col,
+                        jnp.exp(lt),
+                        lt,
+                        jnp.full((PIX, 1), 1.0, jnp.float32)
+                        * fz.astype(jnp.float32),
+                        jnp.zeros((PIX, OUT_ROWS - 6), jnp.float32),
+                    ],
+                    axis=1,
+                ).T
+                out_dma(t % 2, t).start()
+                return 0
+
+            jax.lax.fori_loop(0, ng, flush, 0)
+
+            # trailing (still-open) group: carry for the next chunk
+            mt = (grp == ng.astype(jnp.float32))
+            selt = jnp.where(ng == 0, 1.0, 0.0)
+            carry_c[...] = selt * carry_c[...] + group_color(mt)
+            carry_lt[...] = selt * carry_lt[...] + _row_sum(tlog * mt)
+
+            @pl.when(ng > 0)
+            def _():
+                frz[0] = -1
+
+    # drain the flush ring at the very end (the last two tiles' DMAs)
+    @pl.when(c == pl.num_programs(0) - 1)
+    def _():
+        @pl.when(tile_end - tile_start >= 2)
+        def _():
+            out_dma((tile_end - 2) % 2, tile_end - 2).wait()
+
+        @pl.when(tile_end - tile_start >= 1)
+        def _():
+            out_dma((tile_end - 1) % 2, tile_end - 1).wait()
+
+
+def backward_kernel(
+    tile_lo_ref,
+    meta_ref,  # (4,) int32: [chunks_exec, tile_start, tile_end, cap]
+    fields_hbm,  # (NUM_FIELDS, cap)
+    totals_hbm,  # (T, OUT_ROWS, PIX): rows 3 T_final, 4 lt_final, 5 freeze
+    gout_hbm,  # (T, OUT_ROWS, PIX): rows 0..2 dL/dC, 3 dL/dT_final
+    grads_hbm,  # out (NUM_FIELDS, cap) per-slot grads
+    fbuf,  # VMEM (2, NUM_FIELDS, CHUNK)
+    tbuf,  # VMEM (2, OUT_ROWS, PIX) totals ring
+    gbuf,  # VMEM (2, OUT_ROWS, PIX) gout ring
+    t_open,  # VMEM (OUT_ROWS, PIX) open tile's totals
+    g_open,  # VMEM (OUT_ROWS, PIX) open tile's gout
+    wbuf,  # VMEM (2, NUM_FIELDS, CHUNK) grad write ring
+    s_carry,  # VMEM (PIX, 1) suffix carry of the open tile
+    lt_carry,  # VMEM (PIX, 1) walked log-transmittance of the open tile
+    sems,  # DMA (2,) fields
+    tsems,  # DMA (2,) totals
+    gsems,  # DMA (2,) gout
+    wsems,  # DMA (2,) grad writes
+    *,
+    fast_grad: bool,
+):
+    """Packed backward: chunks run in REVERSE (suffix-carry ordering, see
+    tiles.backward_kernel). Per chunk, the flushed tiles' cotangents /
+    residuals are DMA'd in and broadcast-assembled into per-lane (PIX,
+    CHUNK) operands via the group masks; the trailing (open) group uses the
+    carried walk state instead of lt_final. Grad rows are written at the
+    chunk's own slot offset — the grad buffer is exactly slot-aligned."""
+    r = pl.program_id(0)
+    nchunks = meta_ref[0]
+    tile_start = meta_ref[1]
+    tile_end = meta_ref[2]
+    cap_i = meta_ref[3]
+    c = nchunks - 1 - r
+    max_chunk = pl.num_programs(0) - 1
+
+    def dma(slot, i):
+        i = jnp.clip(i, 0, max_chunk)
+        return pltpu.make_async_copy(
+            fields_hbm.at[:, pl.ds(pl.multiple_of(i * CHUNK, CHUNK), CHUNK)],
+            fbuf.at[slot],
+            sems.at[slot],
+        )
+
+    def t_dma(slot, t):
+        return pltpu.make_async_copy(totals_hbm.at[t], tbuf.at[slot], tsems.at[slot])
+
+    def g_dma(slot, t):
+        return pltpu.make_async_copy(gout_hbm.at[t], gbuf.at[slot], gsems.at[slot])
+
+    def w_dma(slot, i):
+        return pltpu.make_async_copy(
+            wbuf.at[slot],
+            grads_hbm.at[:, pl.ds(pl.multiple_of(i * CHUNK, CHUNK), CHUNK)],
+            wsems.at[slot],
+        )
+
+    @pl.when(r == 0)
+    def _():
+        s_carry[...] = jnp.zeros((PIX, 1), jnp.float32)
+        lt_carry[...] = jnp.zeros((PIX, 1), jnp.float32)
+        # open-tile data: zeros (the tail "group" past the last sentinel is
+        # invalid lanes only; their staged opacity is 0)
+        t_open[...] = jnp.zeros((OUT_ROWS, PIX), jnp.float32)
+        g_open[...] = jnp.zeros((OUT_ROWS, PIX), jnp.float32)
+        dma(0, c).start()
+
+        @pl.when(nchunks >= 2)
+        def _():
+            dma(1, c - 1).start()
+
+    @pl.when(r < nchunks)
+    def _body():
+        @pl.when((r + 2 <= nchunks) & (r > 0))
+        def _():
+            dma((r + 1) % 2, c - 1).start()
+
+        lo = jnp.maximum(tile_lo_ref[c], tile_start)
+        hi = jnp.minimum(tile_lo_ref[c + 1], tile_end)
+        ng = jnp.maximum(hi - lo, 0)
+        slot0 = c * CHUNK
+        # freeze state of the open tile rides its totals row 5
+        frz_open = t_open[5, 0]
+        frozen = (ng == 0) & (
+            jnp.float32(1.0) * slot0.astype(jnp.float32) >= frz_open
+        )
+
+        # start this chunk's group loads before waiting on fields
+        @pl.when(ng >= 1)
+        def _():
+            t_dma(0, lo).start()
+            g_dma(0, lo).start()
+
+        @pl.when(ng >= 2)
+        def _():
+            t_dma(1, lo + 1).start()
+            g_dma(1, lo + 1).start()
+
+        dma(r % 2, c).wait()
+        f = fbuf[r % 2]
+
+        px, py = _local_pixel_coords()
+        grp = _group_ids(f, lo)
+        tid = f[TID_ROW : TID_ROW + 1, :]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        slot_lane = (slot0 + lane).astype(jnp.float32)
+
+        # ---- broadcast-assemble per-lane tile data from the groups (runs
+        # unconditionally: zero iterations when frozen, since frozen => ng==0)
+        mt = (grp == ng.astype(jnp.float32))
+        gc0 = g_open[0:1, :].T * mt
+        gc1 = g_open[1:2, :].T * mt
+        gc2 = g_open[2:3, :].T * mt
+        gtt = (g_open[3:4, :] * t_open[3:4, :]).T * mt
+        # trailing lanes use the WALKED carry, not lt_final
+        lte = lt_carry[...] * mt
+        scar = s_carry[...] * mt
+        frz_l = frz_open * mt
+
+        def assemble(g, ops):
+            gc0, gc1, gc2, gtt, lte, frz_l = ops
+            sl = g % 2
+            t_dma(sl, lo + g).wait()
+            g_dma(sl, lo + g).wait()
+
+            # rotate the open-tile buffers NOW (chunk c-1's trailing tile is
+            # this chunk's group 0) — ring slot 0 is reused by group 2
+            @pl.when(g == 0)
+            def _():
+                t_open[...] = tbuf[0]
+                g_open[...] = gbuf[0]
+
+            mg = (grp == g.astype(jnp.float32))
+            gc0 = gc0 + gbuf[sl][0:1, :].T * mg
+            gc1 = gc1 + gbuf[sl][1:2, :].T * mg
+            gc2 = gc2 + gbuf[sl][2:3, :].T * mg
+            gtt = gtt + (gbuf[sl][3:4, :] * tbuf[sl][3:4, :]).T * mg
+            lte = lte + tbuf[sl][4:5, :].T * mg
+            frz_l = frz_l + tbuf[sl][5:6, 0:1] * mg
+
+            @pl.when(g + 2 < ng)
+            def _():
+                t_dma((g + 2) % 2, lo + g + 2).start()
+                g_dma((g + 2) % 2, lo + g + 2).start()
+
+            return gc0, gc1, gc2, gtt, lte, frz_l
+
+        gc0, gc1, gc2, gtt, lte, frz_l = jax.lax.fori_loop(
+            0, ng, assemble, (gc0, gc1, gc2, gtt, lte, frz_l)
+        )
+
+        def compute():
+            # ---- alpha with deadness folded into opacity (matches fwd)
+            dead = (grp < 0.0) | (tid >= jnp.float32(1.0) * tile_end)
+            dead = dead | (slot_lane >= frz_l)
+            op_eff = jnp.where(dead, 0.0, f[5:6, :])
+            op = jnp.maximum(op_eff, 1e-12)
+            dx, dy, alpha, capped = _chunk_alpha_packed(f, px, py, op_eff)
+            a2 = f[2:3, :]
+            b2 = f[3:4, :]
+            c2 = f[4:5, :]
+            colors = f[6:9, :]
+
+            tlog = jnp.log1p(-alpha)
+            strictM, upperM = _masked_tris(grp)
+            # entering log-transmittance: walk back from each lane's group
+            # end (lt_final for flushed groups, the carried walk for the
+            # trailing group) through the group-masked inclusive suffix
+            suf_in = _tri_dot(tlog, upperM) + tlog
+            pre = lte - suf_in
+            live = pre + tlog >= LOG_STOP_T
+            t_in = jnp.exp(pre)
+            one_m = 1.0 - alpha
+            wgt = jnp.where(live, alpha * t_in, 0.0)
+
+            gc_dot_c = (
+                gc0 * colors[0:1, :] + gc1 * colors[1:2, :] + gc2 * colors[2:3, :]
+            )
+            gwc = wgt * gc_dot_c
+            suffix_dot = _tri_dot_1pass if fast_grad else _tri_dot
+            suf = suffix_dot(gwc, upperM)
+            s_all = suf + scar + gtt
+
+            g_power = gwc - s_all * (alpha / one_m)
+            g_power = jnp.where(capped, 0.0, g_power)
+
+            ones_row = jnp.ones((1, PIX), jnp.float32)
+
+            def colsum(x):
+                return jnp.dot(ones_row, x, preferred_element_type=jnp.float32)
+
+            if not fast_grad:
+                colsum_1 = colsum
+
+                def colsum(x):
+                    hi_ = x.astype(jnp.bfloat16).astype(jnp.float32)
+                    return colsum_1(hi_) + colsum_1(x - hi_)
+
+            # per-lane color grads: g_rgb[ch, i] = sum_p GC_ch[p,i] wgt[p,i]
+            g_rgb = jnp.concatenate(
+                [colsum(gc0 * wgt), colsum(gc1 * wgt), colsum(gc2 * wgt)], axis=0
+            )
+
+            gdx = g_power * dx
+            gdy = g_power * dy
+            s0 = colsum(g_power)
+            mx = colsum(gdx)
+            my = colsum(gdy)
+            mxx = colsum(gdx * dx)
+            mxy = colsum(gdx * dy)
+            myy = colsum(gdy * dy)
+            g_x = 2.0 * a2 * mx + b2 * my
+            g_y = 2.0 * c2 * my + b2 * mx
+            g_op = s0 / op
+
+            gout_rows = jnp.concatenate(
+                [
+                    g_x,
+                    g_y,
+                    mxx,
+                    mxy,
+                    myy,
+                    g_op,
+                    g_rgb,
+                    jnp.zeros((NUM_FIELDS - 9, CHUNK), jnp.float32),
+                ],
+                axis=0,
+            )
+
+            # ---- carries for chunk c-1 (lane 0 is always group 0)
+            m0 = (grp == 0.0)
+            sel0 = jnp.where(ng == 0, 1.0, 0.0)
+            new_s = _row_sum(gwc * m0) + sel0 * s_carry[...]
+            new_lt = pre[:, 0:1]
+            return gout_rows, new_s, new_lt
+
+        def skip():
+            return (
+                jnp.zeros((NUM_FIELDS, CHUNK), jnp.float32),
+                s_carry[...],
+                lt_carry[...],
+            )
+
+        gout_rows, new_s, new_lt = jax.lax.cond(frozen, skip, compute)
+        s_carry[...] = new_s
+        lt_carry[...] = new_lt
+
+        @pl.when(r >= 2)
+        def _():
+            w_dma(r % 2, c + 2).wait()
+
+        wbuf[r % 2] = gout_rows
+        w_dma(r % 2, c).start()
+
+    @pl.when(r == pl.num_programs(0) - 1)
+    def _():
+        @pl.when(nchunks >= 2)
+        def _():
+            w_dma((nchunks - 2) % 2, 1).wait()
+
+        @pl.when(nchunks >= 1)
+        def _():
+            w_dma((nchunks - 1) % 2, 0).wait()

@@ -46,6 +46,12 @@ class RasterSettings:
     # one to an f32-exact hi/lo split: the backward becomes an on-hardware
     # oracle. The transmittance walk is always exact.
     fast_grad: bool = True
+    # packed-chunk kernels (render/tiles_packed.py): the blend grid walks
+    # aligned CHUNK windows of the global sorted instance array (per-tile
+    # grouping inside chunks) instead of per-tile windows — no remainder
+    # lanes, grad buffer == instance capacity. False falls back to the
+    # round-1 per-tile window kernels (render/tiles.py).
+    packed: bool = True
 
     @property
     def focal_x(self) -> float:
@@ -78,6 +84,10 @@ class RasterSettings:
         return inst, mtpg
 
     def resolve_grad_cap(self, num_gaussians: int) -> int:
+        if self.packed:
+            # packed kernels write exactly one grad row per sorted slot
+            cap, _ = self.resolve_caps(num_gaussians)
+            return cap
         if self.grad_capacity:
             return (self.grad_capacity + 127) // 128 * 128
         cap, _ = self.resolve_caps(num_gaussians)
