@@ -109,6 +109,14 @@ def _row_gather(table: jax.Array, idx: jax.Array) -> jax.Array:
     return _ob(table[idx])
 
 
+def _row_gather_sorted(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Row gather with ASCENDING in-bounds indices: indices_are_sorted lets
+    the TPU gather engine stream rows instead of random-accessing them."""
+    return _ob(
+        table.at[idx].get(indices_are_sorted=True, mode="promise_in_bounds")
+    )
+
+
 def _tile_hit(
     rows: jax.Array, tx: jax.Array, ty: jax.Array, settings: RasterSettings
 ) -> jax.Array:
@@ -203,8 +211,14 @@ class Binning(NamedTuple):
     # ---- packed-chunk kernel bookkeeping (tiles_packed.py): the kernels
     # iterate aligned CHUNK-slot windows of the sorted array directly, so
     # per-tile grouping rides these instead of per-tile windows:
-    tid_sorted: jax.Array  # (cap,) int32 tile of each sorted slot (sentinel
-    # rows carry their tile; invalid/culled rows carry num_tiles)
+    tid_sorted: jax.Array  # (cap,) int32 tile of each sorted slot. Sentinel
+    # rows carry their REAL tile so lane 0 of every chunk belongs to group
+    # 0 even when a segment ends exactly at a chunk boundary (the packed
+    # backward's walked-carry handoff reads lane 0's entering lt);
+    # invalid/culled rows carry num_tiles. Deadness rides sent_sorted +
+    # tid >= num_tiles at staging (opacity zeroed), NOT the tid value.
+    sent_sorted: jax.Array  # (cap,) bool: sentinel rows (dead lanes that
+    # still group with their tile)
     tile_lo: jax.Array  # (cap//CHUNK + 1,) int32: #tiles whose sentinel lies
     # before chunk c — tiles [tile_lo[c], tile_lo[c+1]) flush in chunk c
     chunks_exec: jax.Array  # () int32 chunks covering all sentinels (>= 1)
@@ -270,7 +284,7 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> Binning:
         ],
         axis=1,
     )
-    rows = _row_gather(g_table, gid_safe)  # (cap, 11)
+    rows = _row_gather_sorted(g_table, gid_safe)  # (cap, 11), gid ascending
     j = slots - rows[:, 0]
     rw = rows[:, 3]
     ty = rows[:, 2] + j // rw
@@ -313,14 +327,15 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> Binning:
     gid_s = jnp.minimum(pj_s >> j_bits, n - 1)
     j_s = pj_s & ((1 << j_bits) - 1)
     is_sent = pj_s >= (n << j_bits)
-    tid_sorted = jnp.where(
-        is_sent,
+    # sentinels keep their real tile from the key's high bits (they must
+    # group with their tile in the packed kernels — see Binning.tid_sorted);
+    # only invalid/culled rows get num_tiles. is_sent-but-invalid rows
+    # (gid == n + T) also land on num_tiles via the key clamp.
+    tid_sorted = jnp.minimum(
+        (key_s[:cap].astype(jnp.uint32) >> db).astype(jnp.int32),
         jnp.int32(num_tiles),
-        jnp.minimum(
-            (key_s[:cap].astype(jnp.uint32) >> db).astype(jnp.int32),
-            jnp.int32(num_tiles),
-        ),
     )
+    sent_sorted = is_sent
 
     # ---- tile ranges from sentinel positions: the main sort already put
     # sentinels in tile order (their keys ascend with tile), so compacting
@@ -353,7 +368,7 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> Binning:
     kept_cum = _ob(jnp.cumsum(keep.astype(jnp.int32)))
     cum_idx = jnp.clip(cum.astype(jnp.int32) - 1, 0, cap - 1)
     boundary_cum = jnp.where(
-        cum > 0, _row_gather(kept_cum[:, None], cum_idx)[:, 0], 0
+        cum > 0, _row_gather_sorted(kept_cum[:, None], cum_idx)[:, 0], 0
     )
     culled = jnp.sum(valid.astype(jnp.int32)) - kept_cum[-1]
 
@@ -389,6 +404,7 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> Binning:
         clipped=clipped.astype(jnp.int32),
         culled=culled.astype(jnp.int32),
         tid_sorted=tid_sorted,
+        sent_sorted=sent_sorted,
         tile_lo=tile_lo.astype(jnp.int32),
         chunks_exec=chunks_exec.astype(jnp.int32),
         perm=perm,

@@ -20,6 +20,7 @@ maintains two kernel families, forward.cu vs forward_indexed.cu).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -36,6 +37,7 @@ from .binning import (
     PRESORT_ROW,
     Binning,
     _rank_in_sorted,
+    _row_gather_sorted,
     bin_gaussians,
     per_gaussian_table,
 )
@@ -59,21 +61,26 @@ def _build_fields(table: jax.Array, gid_sorted: jax.Array, j_sorted: jax.Array):
     return rows.T
 
 
-def _build_fields_packed(table, gid_sorted, tid_sorted, tiles_x: int, num_tiles: int):
+def _build_fields_packed(
+    table, gid_sorted, tid_sorted, sent_sorted, tiles_x: int, num_tiles: int
+):
     """(N, NUM_FIELDS) table -> (NUM_FIELDS, cap) staged sorted instance
     fields for the PACKED kernels: means become TILE-LOCAL (so one local
     pixel-coordinate set serves lanes of different tiles inside a shared
-    chunk), dead lanes (sentinel / invalid / culled, tid == num_tiles) get
-    opacity 0, and row TID_ROW carries the lane's tile id."""
+    chunk), dead lanes (sentinel / invalid / culled) get opacity 0, and row
+    TID_ROW carries the lane's tile id (real tile for sentinels — they must
+    group with their tile, see Binning.tid_sorted)."""
     rows = _ob(table[gid_sorted])  # (cap, NUM_FIELDS) ONE row gather
-    tid = tid_sorted
+    tid = jnp.minimum(tid_sorted, num_tiles - 1)
     ox = ((tid % tiles_x) * TILE_X).astype(rows.dtype)
     oy = ((tid // tiles_x) * TILE_Y).astype(rows.dtype)
-    dead = tid >= num_tiles
+    dead = sent_sorted | (tid_sorted >= num_tiles)
     rows = rows.at[:, 0].add(-ox)
     rows = rows.at[:, 1].add(-oy)
     rows = rows.at[:, 5].set(jnp.where(dead, 0.0, rows[:, 5]))
-    rows = rows.at[:, tiles_packed.TID_ROW].set(tid.astype(rows.dtype))
+    rows = rows.at[:, tiles_packed.TID_ROW].set(
+        tid_sorted.astype(rows.dtype)
+    )
     return rows.T
 
 
@@ -86,7 +93,7 @@ def _blend_forward_call_packed(num_tiles: int, cap: int, fields, tile_lo, meta):
         scratch_shapes=[
             pltpu.VMEM((2, NUM_FIELDS, CHUNK), jnp.float32),  # fbuf
             pltpu.VMEM((2, tiles.OUT_ROWS, tiles.PIX), jnp.float32),  # obuf
-            pltpu.VMEM((tiles.PIX, 3), jnp.float32),  # carry_c
+            pltpu.VMEM((3, tiles.PIX), jnp.float32),  # carry_c
             pltpu.VMEM((tiles.PIX, 1), jnp.float32),  # carry_lt
             pltpu.SMEM((1,), jnp.int32),  # frz
             pltpu.SemaphoreType.DMA((2,)),
@@ -108,29 +115,31 @@ def _blend_backward_call_packed(
     num_tiles: int, cap: int, fast_grad: bool, fields, tile_lo, meta, totals, gout
 ):
     kernel = functools.partial(
-        tiles_packed.backward_kernel, fast_grad=fast_grad
+        tiles_packed.backward_kernel,
+        fast_grad=fast_grad,
+        probe=os.environ.get("C3DGS_PROBE_BWD", ""),
     )
+    # one (T, 2*OUT_ROWS, PIX) array so each kernel flush is ONE DMA
+    tg = jnp.concatenate([totals, gout], axis=1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(cap // CHUNK,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # fields
-            pl.BlockSpec(memory_space=pltpu.ANY),  # totals
-            pl.BlockSpec(memory_space=pltpu.ANY),  # gout
+            pl.BlockSpec(memory_space=pltpu.ANY),  # tg blocks
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, NUM_FIELDS, CHUNK), jnp.float32),  # fbuf
-            pltpu.VMEM((2, tiles.OUT_ROWS, tiles.PIX), jnp.float32),  # tbuf
-            pltpu.VMEM((2, tiles.OUT_ROWS, tiles.PIX), jnp.float32),  # gbuf
-            pltpu.VMEM((tiles.OUT_ROWS, tiles.PIX), jnp.float32),  # t_open
-            pltpu.VMEM((tiles.OUT_ROWS, tiles.PIX), jnp.float32),  # g_open
+            pltpu.VMEM((2, 2 * tiles.OUT_ROWS, tiles.PIX), jnp.float32),  # tgbuf
+            pltpu.VMEM((2, 2 * tiles.OUT_ROWS, tiles.PIX), jnp.float32),  # htgbuf
+            pltpu.VMEM((tiles.PIX, 2 * tiles.OUT_ROWS), jnp.float32),  # tg_open
             pltpu.VMEM((2, NUM_FIELDS, CHUNK), jnp.float32),  # wbuf
             pltpu.VMEM((tiles.PIX, 1), jnp.float32),  # s_carry
             pltpu.VMEM((tiles.PIX, 1), jnp.float32),  # lt_carry
             pltpu.SemaphoreType.DMA((2,)),  # fields
-            pltpu.SemaphoreType.DMA((2,)),  # totals
-            pltpu.SemaphoreType.DMA((2,)),  # gout
+            pltpu.SemaphoreType.DMA((2,)),  # tg blocks
+            pltpu.SemaphoreType.DMA((2,)),  # head tg blocks
             pltpu.SemaphoreType.DMA((2,)),  # grad writes
         ],
     )
@@ -140,7 +149,7 @@ def _blend_backward_call_packed(
         out_shape=jax.ShapeDtypeStruct((NUM_FIELDS, cap), jnp.float32),
         interpret=tiles.interpret_mode(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_lo, meta, fields, totals, gout)
+    )(tile_lo, meta, fields, tg)
 
 
 def _reduce_instance_grads_packed(grads, perm, boundaries, cap: int):
@@ -162,7 +171,7 @@ def _reduce_instance_grads_packed(grads, perm, boundaries, cap: int):
     cs = _ob(jnp.cumsum(d_pre, axis=0))
     cs_end = jnp.where(
         (boundaries > 0)[:, None],
-        _ob(cs[jnp.clip(boundaries - 1, 0, cap - 1)]),
+        _row_gather_sorted(cs, jnp.clip(boundaries - 1, 0, cap - 1)),
         0.0,
     )
     prev = jnp.concatenate([jnp.zeros((1, live), cs.dtype), cs_end[:-1]], 0)
@@ -184,16 +193,25 @@ def blend_gaussians_packed(
     """Packed-chunk stage + alpha-composite (render/tiles_packed.py).
     Returns (T, OUT_ROWS, PIX) tile blocks like blend_gaussians.
 
-    bookkeeping: (gid_sorted, tid_sorted, tile_lo, meta, perm, boundaries)
-    with meta = [chunks_exec, tile_start, tile_end, cap] int32."""
-    gid_sorted, tid_sorted, tile_lo, meta, perm, boundaries = bookkeeping
-    fields = _build_fields_packed(table, gid_sorted, tid_sorted, tiles_x, num_tiles)
+    bookkeeping: (gid_sorted, tid_sorted, sent_sorted, tile_lo, meta,
+    perm, boundaries) with meta = [chunks_exec, tile_start, tile_end, cap]
+    int32."""
+    gid_sorted, tid_sorted, sent_sorted, tile_lo, meta, perm, boundaries = (
+        bookkeeping
+    )
+    fields = _build_fields_packed(
+        table, gid_sorted, tid_sorted, sent_sorted, tiles_x, num_tiles
+    )
     return _blend_forward_call_packed(num_tiles, cap, fields, tile_lo, meta)
 
 
 def _blend_packed_fwd(tiles_x, num_tiles, cap, fast_grad, table, bookkeeping):
-    gid_sorted, tid_sorted, tile_lo, meta, perm, boundaries = bookkeeping
-    fields = _build_fields_packed(table, gid_sorted, tid_sorted, tiles_x, num_tiles)
+    gid_sorted, tid_sorted, sent_sorted, tile_lo, meta, perm, boundaries = (
+        bookkeeping
+    )
+    fields = _build_fields_packed(
+        table, gid_sorted, tid_sorted, sent_sorted, tiles_x, num_tiles
+    )
     out = _blend_forward_call_packed(num_tiles, cap, fields, tile_lo, meta)
     return out, (fields, tile_lo, meta, perm, boundaries, out)
 
@@ -514,6 +532,7 @@ def render(
             (
                 binning.gid_sorted,
                 binning.tid_sorted,
+                binning.sent_sorted,
                 binning.tile_lo,
                 meta,
                 binning.perm,

@@ -87,12 +87,16 @@ def _group_ids(f, lo):
     )
 
 
-def _masked_tris(grp):
+def _masked_tris(grp, probe: str = ""):
     """Group-masked (CHUNK, CHUNK) ones matrices: strict-lower prefix and
     strict-upper suffix restricted to same-group lanes. Entries are 0/1 —
     exactly bf16 — so _tri_dot's 2-pass split stays exact."""
     row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    if probe == "tris":  # timing probe: skip the grp lane->sublane relayout
+        strict = (row < col).astype(jnp.float32)
+        upper = (row > col).astype(jnp.float32)
+        return strict, upper
     same = grp.reshape(CHUNK, 1) == grp.reshape(1, CHUNK)
     strict = ((row < col) & same).astype(jnp.float32)
     upper = ((row > col) & same).astype(jnp.float32)
@@ -126,7 +130,8 @@ def forward_kernel(
     out_hbm,  # (T, OUT_ROWS, PIX) per-tile output blocks (manual DMA)
     fbuf,  # VMEM (2, NUM_FIELDS, CHUNK)
     obuf,  # VMEM (2, OUT_ROWS, PIX) flush staging ring
-    carry_c,  # VMEM (PIX, 3) open tile's color accumulator
+    carry_c,  # VMEM (3, PIX) open tile's color accumulator (row-major so
+    # the flush's output block needs no (PIX, k) -> (k, PIX) relayout)
     carry_lt,  # VMEM (PIX, 1) open tile's log-transmittance
     frz,  # SMEM (1,) freeze start slot of the open tile, -1 = live
     sems,  # DMA (2,) fields
@@ -157,7 +162,7 @@ def forward_kernel(
 
     @pl.when(c == 0)
     def _():
-        carry_c[...] = jnp.zeros((PIX, 3), jnp.float32)
+        carry_c[...] = jnp.zeros((3, PIX), jnp.float32)
         carry_lt[...] = jnp.zeros((PIX, 1), jnp.float32)
         frz[0] = -1
         dma(0, 0).start()
@@ -213,9 +218,12 @@ def forward_kernel(
             colors = f[6:9, :]
 
             def group_color(mask):
+                # (3, PIX) row-major output: M=3 on the MXU (vs M=PIX for
+                # the (PIX, 3) orientation) and the flush block assembles
+                # with no transpose
                 return jax.lax.dot_general(
-                    w * mask,
                     colors,
+                    w * mask,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -226,6 +234,7 @@ def forward_kernel(
                 sel0 = jnp.where(g == 0, 1.0, 0.0)
                 col = group_color(mg) + sel0 * carry_c[...]
                 lt = _row_sum(tlog * mg) + sel0 * carry_lt[...]
+                lt_row = lt.T  # the flush's ONE (PIX,1)->(1,PIX) relayout
                 fz = jnp.where((g == 0) & (frz0 >= 0), frz0, cap)
 
                 @pl.when(t >= tile_start + 2)
@@ -235,14 +244,14 @@ def forward_kernel(
                 obuf[t % 2] = jnp.concatenate(
                     [
                         col,
-                        jnp.exp(lt),
-                        lt,
-                        jnp.full((PIX, 1), 1.0, jnp.float32)
+                        jnp.exp(lt_row),
+                        lt_row,
+                        jnp.full((1, PIX), 1.0, jnp.float32)
                         * fz.astype(jnp.float32),
-                        jnp.zeros((PIX, OUT_ROWS - 6), jnp.float32),
+                        jnp.zeros((OUT_ROWS - 6, PIX), jnp.float32),
                     ],
-                    axis=1,
-                ).T
+                    axis=0,
+                )
                 out_dma(t % 2, t).start()
                 return 0
 
@@ -274,30 +283,47 @@ def backward_kernel(
     tile_lo_ref,
     meta_ref,  # (4,) int32: [chunks_exec, tile_start, tile_end, cap]
     fields_hbm,  # (NUM_FIELDS, cap)
-    totals_hbm,  # (T, OUT_ROWS, PIX): rows 3 T_final, 4 lt_final, 5 freeze
-    gout_hbm,  # (T, OUT_ROWS, PIX): rows 0..2 dL/dC, 3 dL/dT_final
+    tg_hbm,  # (T, 2*OUT_ROWS, PIX): totals rows 0..7 (3 T_final, 4
+    # lt_final, 5 freeze) | gout rows 8..15 (8..10 dL/dC, 11 dL/dT_final).
+    # ONE array so each flush is ONE DMA (the VJP wrapper concatenates
+    # totals and cotangent once per frame in XLA)
     grads_hbm,  # out (NUM_FIELDS, cap) per-slot grads
     fbuf,  # VMEM (2, NUM_FIELDS, CHUNK)
-    tbuf,  # VMEM (2, OUT_ROWS, PIX) totals ring
-    gbuf,  # VMEM (2, OUT_ROWS, PIX) gout ring
-    t_open,  # VMEM (OUT_ROWS, PIX) open tile's totals
-    g_open,  # VMEM (OUT_ROWS, PIX) open tile's gout
+    tgbuf,  # VMEM (2, 2*OUT_ROWS, PIX) tile-block ring (groups >= 1)
+    htgbuf,  # VMEM (2, 2*OUT_ROWS, PIX) group-0 block, parity head-prefetch
+    tg_open,  # VMEM (PIX, 2*OUT_ROWS) open tile's block, pre-transposed
     wbuf,  # VMEM (2, NUM_FIELDS, CHUNK) grad write ring
     s_carry,  # VMEM (PIX, 1) suffix carry of the open tile
     lt_carry,  # VMEM (PIX, 1) walked log-transmittance of the open tile
     sems,  # DMA (2,) fields
-    tsems,  # DMA (2,) totals
-    gsems,  # DMA (2,) gout
+    tgsems,  # DMA (2,) tile blocks
+    htgsems,  # DMA (2,) head tile blocks
     wsems,  # DMA (2,) grad writes
     *,
     fast_grad: bool,
+    probe: str = "",
 ):
     """Packed backward: chunks run in REVERSE (suffix-carry ordering, see
     tiles.backward_kernel). Per chunk, the flushed tiles' cotangents /
     residuals are DMA'd in and broadcast-assembled into per-lane (PIX,
     CHUNK) operands via the group masks; the trailing (open) group uses the
     carried walk state instead of lt_final. Grad rows are written at the
-    chunk's own slot offset — the grad buffer is exactly slot-aligned."""
+    chunk's own slot offset — the grad buffer is exactly slot-aligned.
+
+    DMA schedule: the FIRST flushed tile of chunk c-1 is prefetched into a
+    parity-indexed head buffer (htgbuf[(r+1) % 2]) at the top of chunk c's
+    body, a full chunk iteration early; deeper groups (rarer) keep the
+    on-demand ring with distance-2 starts inside the assemble loop.
+
+    Relayout discipline (measured: per-column `.T` slices of the tile
+    blocks cost ~6 ms/frame on the 1080p bench — lane->sublane relayouts
+    ride the VPU permute unit): each flushed tile's totals+gout block is
+    transposed ONCE as a fused (2*OUT_ROWS, PIX) -> (PIX, 2*OUT_ROWS)
+    value; every operand is then a natural (PIX, 1) column slice. The open
+    tile's state is kept pre-transposed in tg_open, so the per-chunk
+    operand init has no relayout at all. (A pixel-major HBM layout would
+    remove the per-flush transpose too, but Mosaic requires HBM<->VMEM
+    copies to have 128-aligned minor dims — OUT_ROWS=8 is not DMA-able.)"""
     r = pl.program_id(0)
     nchunks = meta_ref[0]
     tile_start = meta_ref[1]
@@ -314,11 +340,22 @@ def backward_kernel(
             sems.at[slot],
         )
 
-    def t_dma(slot, t):
-        return pltpu.make_async_copy(totals_hbm.at[t], tbuf.at[slot], tsems.at[slot])
+    def tg_dma(slot, t):
+        return pltpu.make_async_copy(tg_hbm.at[t], tgbuf.at[slot], tgsems.at[slot])
 
-    def g_dma(slot, t):
-        return pltpu.make_async_copy(gout_hbm.at[t], gbuf.at[slot], gsems.at[slot])
+    def htg_dma(slot, t):
+        return pltpu.make_async_copy(
+            tg_hbm.at[t], htgbuf.at[slot], htgsems.at[slot]
+        )
+
+    def head_ng(i):
+        """#flushed tiles of chunk i (clamped to this device's ownership)."""
+        lo_i = jnp.maximum(tile_lo_ref[i], tile_start)
+        hi_i = jnp.minimum(tile_lo_ref[i + 1], tile_end)
+        ng_i = jnp.maximum(hi_i - lo_i, 0)
+        if probe == "noflush":
+            ng_i = ng_i * 0
+        return ng_i, lo_i
 
     def w_dma(slot, i):
         return pltpu.make_async_copy(
@@ -333,13 +370,21 @@ def backward_kernel(
         lt_carry[...] = jnp.zeros((PIX, 1), jnp.float32)
         # open-tile data: zeros (the tail "group" past the last sentinel is
         # invalid lanes only; their staged opacity is 0)
-        t_open[...] = jnp.zeros((OUT_ROWS, PIX), jnp.float32)
-        g_open[...] = jnp.zeros((OUT_ROWS, PIX), jnp.float32)
+        tg_open[...] = jnp.zeros((PIX, 2 * OUT_ROWS), jnp.float32)
         dma(0, c).start()
 
         @pl.when(nchunks >= 2)
         def _():
             dma(1, c - 1).start()
+
+        # head prefetch for THIS first chunk (nobody ran before r=0)
+        @pl.when(nchunks >= 1)
+        def _():
+            ng0, lo0 = head_ng(c)
+
+            @pl.when(ng0 >= 1)
+            def _():
+                htg_dma(0, lo0).start()
 
     @pl.when(r < nchunks)
     def _body():
@@ -350,23 +395,31 @@ def backward_kernel(
         lo = jnp.maximum(tile_lo_ref[c], tile_start)
         hi = jnp.minimum(tile_lo_ref[c + 1], tile_end)
         ng = jnp.maximum(hi - lo, 0)
+        if probe == "noflush":
+            ng = ng * 0
         slot0 = c * CHUNK
-        # freeze state of the open tile rides its totals row 5
-        frz_open = t_open[5, 0]
+        # freeze state of the open tile rides its totals column 5
+        frz_open = tg_open[0, 5]
         frozen = (ng == 0) & (
             jnp.float32(1.0) * slot0.astype(jnp.float32) >= frz_open
         )
+        if probe == "noflush":
+            frozen = frozen & (slot0 < 0)
 
-        # start this chunk's group loads before waiting on fields
-        @pl.when(ng >= 1)
+        # head prefetch for the NEXT chunk (c-1): its group-0 tile loads are
+        # in flight a full chunk iteration before they are waited on
+        @pl.when(r + 1 < nchunks)
         def _():
-            t_dma(0, lo).start()
-            g_dma(0, lo).start()
+            ng_n, lo_n = head_ng(c - 1)
 
+            @pl.when(ng_n >= 1)
+            def _():
+                htg_dma((r + 1) % 2, lo_n).start()
+
+        # on-demand ring start for group 1 (group 0 rides the head buffer)
         @pl.when(ng >= 2)
         def _():
-            t_dma(1, lo + 1).start()
-            g_dma(1, lo + 1).start()
+            tg_dma(1, lo + 1).start()
 
         dma(r % 2, c).wait()
         f = fbuf[r % 2]
@@ -380,10 +433,11 @@ def backward_kernel(
         # ---- broadcast-assemble per-lane tile data from the groups (runs
         # unconditionally: zero iterations when frozen, since frozen => ng==0)
         mt = (grp == ng.astype(jnp.float32))
-        gc0 = g_open[0:1, :].T * mt
-        gc1 = g_open[1:2, :].T * mt
-        gc2 = g_open[2:3, :].T * mt
-        gtt = (g_open[3:4, :] * t_open[3:4, :]).T * mt
+        # natural column slices of the pre-transposed open-tile state
+        gc0 = tg_open[:, OUT_ROWS + 0 : OUT_ROWS + 1] * mt
+        gc1 = tg_open[:, OUT_ROWS + 1 : OUT_ROWS + 2] * mt
+        gc2 = tg_open[:, OUT_ROWS + 2 : OUT_ROWS + 3] * mt
+        gtt = (tg_open[:, OUT_ROWS + 3 : OUT_ROWS + 4] * tg_open[:, 3:4]) * mt
         # trailing lanes use the WALKED carry, not lt_final
         lte = lt_carry[...] * mt
         scar = s_carry[...] * mt
@@ -392,28 +446,38 @@ def backward_kernel(
         def assemble(g, ops):
             gc0, gc1, gc2, gtt, lte, frz_l = ops
             sl = g % 2
-            t_dma(sl, lo + g).wait()
-            g_dma(sl, lo + g).wait()
 
-            # rotate the open-tile buffers NOW (chunk c-1's trailing tile is
-            # this chunk's group 0) — ring slot 0 is reused by group 2
+            def head_bufs():
+                # prefetched a full chunk ago (init block for the first chunk)
+                htg_dma(r % 2, lo).wait()
+                return htgbuf[r % 2]
+
+            def ring_bufs():
+                tg_dma(sl, lo + g).wait()
+                return tgbuf[sl]
+
+            tg = jax.lax.cond(g == 0, head_bufs, ring_bufs)
+            # the ONE lane->sublane relayout per flush: all operand columns
+            # below are natural (PIX, 1) slices of the transposed block
+            tgT = tg.T  # (PIX, 2*OUT_ROWS)
+
+            # rotate the open-tile state NOW (chunk c-1's trailing tile is
+            # this chunk's group 0)
             @pl.when(g == 0)
             def _():
-                t_open[...] = tbuf[0]
-                g_open[...] = gbuf[0]
+                tg_open[...] = tgT
 
             mg = (grp == g.astype(jnp.float32))
-            gc0 = gc0 + gbuf[sl][0:1, :].T * mg
-            gc1 = gc1 + gbuf[sl][1:2, :].T * mg
-            gc2 = gc2 + gbuf[sl][2:3, :].T * mg
-            gtt = gtt + (gbuf[sl][3:4, :] * tbuf[sl][3:4, :]).T * mg
-            lte = lte + tbuf[sl][4:5, :].T * mg
-            frz_l = frz_l + tbuf[sl][5:6, 0:1] * mg
+            gc0 = gc0 + tgT[:, OUT_ROWS + 0 : OUT_ROWS + 1] * mg
+            gc1 = gc1 + tgT[:, OUT_ROWS + 1 : OUT_ROWS + 2] * mg
+            gc2 = gc2 + tgT[:, OUT_ROWS + 2 : OUT_ROWS + 3] * mg
+            gtt = gtt + (tgT[:, OUT_ROWS + 3 : OUT_ROWS + 4] * tgT[:, 3:4]) * mg
+            lte = lte + tgT[:, 4:5] * mg
+            frz_l = frz_l + tgT[0:1, 5:6] * mg
 
             @pl.when(g + 2 < ng)
             def _():
-                t_dma((g + 2) % 2, lo + g + 2).start()
-                g_dma((g + 2) % 2, lo + g + 2).start()
+                tg_dma((g + 2) % 2, lo + g + 2).start()
 
             return gc0, gc1, gc2, gtt, lte, frz_l
 
@@ -434,7 +498,7 @@ def backward_kernel(
             colors = f[6:9, :]
 
             tlog = jnp.log1p(-alpha)
-            strictM, upperM = _masked_tris(grp)
+            strictM, upperM = _masked_tris(grp, probe)
             # entering log-transmittance: walk back from each lane's group
             # end (lt_final for flushed groups, the carried walk for the
             # trailing group) through the group-masked inclusive suffix
@@ -485,21 +549,25 @@ def backward_kernel(
             g_y = 2.0 * c2 * my + b2 * mx
             g_op = s0 / op
 
+            if probe == "stash":  # debug: export walk internals (pixel 0)
+                dbg = [lte[0:1, :], pre[0:1, :], frz_l * jnp.ones((1, CHUNK)),
+                       suf_in[0:1, :], wgt[0:1, :],
+                       jnp.zeros((NUM_FIELDS - 14, CHUNK), jnp.float32)]
+            else:
+                dbg = [jnp.zeros((NUM_FIELDS - 9, CHUNK), jnp.float32)]
             gout_rows = jnp.concatenate(
-                [
-                    g_x,
-                    g_y,
-                    mxx,
-                    mxy,
-                    myy,
-                    g_op,
-                    g_rgb,
-                    jnp.zeros((NUM_FIELDS - 9, CHUNK), jnp.float32),
-                ],
-                axis=0,
+                [g_x, g_y, mxx, mxy, myy, g_op, g_rgb] + dbg, axis=0
             )
 
-            # ---- carries for chunk c-1 (lane 0 is always group 0)
+            # ---- carries for chunk c-1 (chunk c-1's trailing tile is this
+            # chunk's group 0). Lane 0 belongs to group 0 for EVERY possible
+            # layout — including a tile segment ending exactly at the chunk
+            # boundary, whose sentinel then lands on lane 0 — because
+            # sentinels carry their REAL tile id (Binning.tid_sorted). With
+            # num_tiles-tagged sentinels, pre[lane 0] read a dead lane's 0
+            # there and silently corrupted the previous chunk's trailing
+            # gradients (found by tools/verify_tpu.py on hardware; CPU
+            # binning never produced that layout).
             m0 = (grp == 0.0)
             sel0 = jnp.where(ng == 0, 1.0, 0.0)
             new_s = _row_sum(gwc * m0) + sel0 * s_carry[...]

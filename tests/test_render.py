@@ -143,6 +143,64 @@ def test_pallas_matches_oracle_gradients(fast_grad):
         )
 
 
+def test_packed_gradients_with_sentinel_at_chunk_boundary():
+    """Regression: when a tile's segment ends exactly at a CHUNK boundary,
+    its sentinel is lane 0 of the next chunk — the packed backward's
+    walked-carry handoff must not read that dead lane (it silently zeroed
+    the previous chunk's trailing-group transmittance walk; found by
+    tools/verify_tpu.py on hardware, where the binning's float ordering
+    produced such a layout while CPU runs never did)."""
+    # seed/size chosen so CPU binning yields ends[t] % 128 == 0 for
+    # mid-array tiles (74, 85 at 256x192 / 600 gaussians)
+    rng = np.random.default_rng(35)
+    n = 600
+    means = rng.normal(size=(n, 3)).astype(np.float32) * 1.2
+    means[:, 2] += 4.0
+    scales = np.exp(rng.normal(size=(n, 3)).astype(np.float32) * 0.6 - 3.6)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    cov = jnp.asarray(
+        quat.cov6_from_scaling_rotation(jnp.asarray(scales), jnp.asarray(quats))
+    )
+    op = jnp.asarray(
+        (1 / (1 + np.exp(-rng.normal(size=n) - 0.5))).astype(np.float32)
+    )
+    colors = jnp.asarray(rng.random(size=(n, 3)).astype(np.float32))
+    means = jnp.asarray(means)
+    ev = jnp.asarray([0, 0, 0, 1, 0, 0, 0], jnp.float32)
+    settings = RasterSettings(
+        width=256, height=192, tanfovx=math.tan(0.6),
+        tanfovy=math.tan(0.47), sh_degree=0, fast_grad=False,
+    )
+    prep = preprocess(means, cov, op, ev, settings, colors_precomp=colors)
+    ends = np.asarray(bin_gaussians(prep, settings).ends)
+    hits = np.where((ends % 128 == 0) & (ends > 0))[0]
+    assert hits.size > 0, "scene no longer triggers the boundary layout"
+
+    bg = jnp.asarray([0.15, 0.1, 0.3])
+    wimg = jax.random.normal(jax.random.PRNGKey(7), (3, 192, 256))
+
+    def loss_oracle(m, c, o, col):
+        img = oracle_mod.render_oracle(
+            m, c, o, ev, settings, bg, colors_precomp=col
+        )["render"]
+        return jnp.vdot(wimg, img)
+
+    def loss_pallas(m, c, o, col):
+        img = rasterizer.render(
+            m, c, o, ev, settings, bg, colors_precomp=col
+        )["render"]
+        return jnp.vdot(wimg, img)
+
+    go = jax.grad(loss_oracle, argnums=(0, 1, 2, 3))(means, cov, op, colors)
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(means, cov, op, colors)
+    for name, a, b in zip(["means", "cov", "opacity", "colors"], go, gp):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(
+            b / scale, a / scale, atol=5e-4, err_msg=f"grad mismatch: {name}"
+        )
+
+
 def test_oracle_gradient_matches_finite_differences():
     means, cov, op, ev, colors, _ = make_scene(20)
     bg = jnp.asarray([0.0, 0.0, 0.0])
