@@ -29,11 +29,18 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import OptimizationParams
 from ..models.gaussians import GaussianScene
 from ..ops import losses as L
-from ..render.binning import bin_gaussians, per_gaussian_table
+from ..render.binning import CHUNK, bin_gaussians, per_gaussian_table
 from ..render.preprocess import preprocess
-from ..render.rasterizer import assemble_image, blend_gaussians
+from ..render.rasterizer import assemble_image, blend_gaussians_packed
 from ..render.types import RasterSettings
 from ..train import trainer
+
+# static per-device slot-capacity headroom over the even cap/D split:
+# tile loads skew, so a device's owned chunk range can exceed cap/D.
+# Overshoot is truncated (trailing owned tiles dropped) and would surface
+# as image corruption on that slice — raise via settings.instance_capacity
+# if a scene's tile skew exceeds 2x.
+LOCAL_CAP_FACTOR = 2
 
 
 def _round_up(x: int, m: int) -> int:
@@ -41,51 +48,73 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _local_blend_tiles(prep, settings: RasterSettings, n_tiles_axis: int):
-    """Per-device piece: bin (all tiles, replicated), then blend only this
-    device's tile slice. Returns the local (T_local, OUT_ROWS, PIX) block."""
+    """Per-device piece: bin (replicated — the global sort is the one stage
+    not yet sharded; see SCALING.md), then stage + blend + (in the VJP)
+    reduce ONLY this device's chunk slice of the sorted instance array.
+    All row-level O(cap) work — the stage gather, both Pallas kernels, and
+    the gradient reduction — runs at ~cap/D per device; per-gaussian grad
+    partials are psum'd by the caller. Returns the local
+    (t_local, OUT_ROWS, PIX) block."""
     binning = bin_gaussians(jax.lax.stop_gradient(prep), settings)
     table = per_gaussian_table(prep, binning.offset)
     n = prep.mean2d.shape[0]
     cap, _ = settings.resolve_caps(n)
-    grad_cap = settings.resolve_grad_cap(n)
     t_total = settings.num_tiles
     t_pad = _round_up(t_total, n_tiles_axis)
     t_local = t_pad // n_tiles_axis
-
-    pad = t_pad - t_total
-    starts = jnp.pad(binning.starts, (0, pad))
-    ends = jnp.pad(binning.ends, (0, pad))  # start == end: empty tile
-    nchunks = jnp.pad(binning.nchunks, (0, pad))
-    # one-past table so each slice knows its grad coverage end
-    grad_base_ext = jnp.concatenate(
-        [binning.grad_base, jnp.full((pad + 1,), binning.grad_total, jnp.int32)]
+    cap_local = min(
+        _round_up(LOCAL_CAP_FACTOR * cap // n_tiles_axis, CHUNK),
+        _round_up(cap, CHUNK),
     )
-    ids = jnp.arange(t_pad, dtype=jnp.int32)
+    nc_local = cap_local // CHUNK
 
-    my = jax.lax.axis_index("tiles") * t_local
-    sl = lambda a: jax.lax.dynamic_slice(a, (my,), (t_local,))
-    grad_lo = jax.lax.dynamic_slice(grad_base_ext, (my,), (1,))[0]
-    grad_hi = jax.lax.dynamic_slice(grad_base_ext, (my + t_local,), (1,))[0]
+    d = jax.lax.axis_index("tiles")
+    t0 = jnp.minimum(d * t_local, t_total)
+    t1 = jnp.minimum(t0 + t_local, t_total)
+    has = t1 > t0
+    # owned chunk range: the chunks containing slots
+    # [starts[t0], ends[t1 - 1]] (every owned tile's full segment +
+    # sentinel lies inside — segments are contiguous and tile-ordered)
+    c_lo = jnp.where(
+        has, binning.starts[jnp.minimum(t0, t_total - 1)] // CHUNK, 0
+    )
+    c_hi = jnp.where(
+        has, binning.ends[jnp.maximum(t1 - 1, 0)] // CHUNK + 1, 0
+    )
+    nc_exec = jnp.clip(c_hi - c_lo, 0, nc_local)
 
-    out_l = blend_gaussians(
+    slot0 = c_lo * CHUNK
+
+    def slot_slice(a, fill):
+        ap = jnp.concatenate(
+            [a, jnp.full((cap_local,), fill, a.dtype)]
+        )
+        return jax.lax.dynamic_slice(ap, (slot0,), (cap_local,))
+
+    gid_l = slot_slice(binning.gid_sorted, jnp.int32(n - 1))
+    tid_l = slot_slice(binning.tid_sorted, jnp.int32(t_total))
+    sent_l = slot_slice(binning.sent_sorted, True)
+    j_l = slot_slice(binning.j_sorted, jnp.int32(0))
+    tl_pad = jnp.concatenate(
+        [
+            binning.tile_lo,
+            jnp.full((nc_local + 1,), t_total, jnp.int32),
+        ]
+    )
+    tile_lo_l = jax.lax.dynamic_slice(tl_pad, (c_lo,), (nc_local + 1,))
+    meta = jnp.stack(
+        [nc_exec, t0, t1, jnp.int32(cap)]
+    ).astype(jnp.int32)
+
+    out_l = blend_gaussians_packed(
         settings.tiles_x,
         t_local,
+        t_total,
+        cap_local,
         cap,
-        grad_cap,
-        True,
         settings.fast_grad,
         table,
-        (
-            binning.gid_sorted,
-            binning.j_sorted,
-            sl(starts),
-            sl(ends),
-            sl(nchunks),
-            sl(grad_base_ext[:-1]),
-            binning.emit_cum,
-        ),
-        sl(ids),
-        (grad_lo, grad_hi),
+        (gid_l, tid_l, sent_l, j_l, tile_lo_l, meta, None, binning.emit_cum),
     )
     return out_l, binning
 

@@ -62,22 +62,39 @@ def _build_fields(table: jax.Array, gid_sorted: jax.Array, j_sorted: jax.Array):
 
 
 def _build_fields_packed(
-    table, gid_sorted, tid_sorted, sent_sorted, tiles_x: int, num_tiles: int
+    table,
+    gid_sorted,
+    tid_sorted,
+    sent_sorted,
+    j_sorted,
+    tiles_x: int,
+    num_tiles: int,
+    cap_total: int,
 ):
     """(N, NUM_FIELDS) table -> (NUM_FIELDS, cap) staged sorted instance
     fields for the PACKED kernels: means become TILE-LOCAL (so one local
     pixel-coordinate set serves lanes of different tiles inside a shared
-    chunk), dead lanes (sentinel / invalid / culled) get opacity 0, and row
+    chunk), dead lanes (sentinel / invalid / culled) get opacity 0, row
     TID_ROW carries the lane's tile id (real tile for sentinels — they must
-    group with their tile, see Binning.tid_sorted)."""
+    group with their tile, see Binning.tid_sorted), and row OFFSET_ROW
+    becomes the lane's PRE-SORT slot (offset[gid] + j; cap_total for dead
+    lanes) — the backward copies it into the grad buffer so a tile-sharded
+    device can reduce its local slot slice without the global permutation
+    (_reduce_instance_grads, partial_coverage)."""
     rows = _ob(table[gid_sorted])  # (cap, NUM_FIELDS) ONE row gather
     tid = jnp.minimum(tid_sorted, num_tiles - 1)
     ox = ((tid % tiles_x) * TILE_X).astype(rows.dtype)
     oy = ((tid // tiles_x) * TILE_Y).astype(rows.dtype)
     dead = sent_sorted | (tid_sorted >= num_tiles)
+    presort = jnp.where(
+        dead,
+        jnp.float32(cap_total),
+        rows[:, OFFSET_ROW] + j_sorted.astype(rows.dtype),
+    )
     rows = rows.at[:, 0].add(-ox)
     rows = rows.at[:, 1].add(-oy)
     rows = rows.at[:, 5].set(jnp.where(dead, 0.0, rows[:, 5]))
+    rows = rows.at[:, OFFSET_ROW].set(presort)
     rows = rows.at[:, tiles_packed.TID_ROW].set(
         tid_sorted.astype(rows.dtype)
     )
@@ -152,14 +169,56 @@ def _blend_backward_call_packed(
     )(tile_lo, meta, fields, tg)
 
 
-def _reduce_instance_grads_packed(grads, perm, boundaries, cap: int):
+def _segment_prefix_diff(d_pre, end_idx, valid, compensated: bool):
+    """Per-segment sums of d_pre rows via prefix differences at end_idx.
+
+    d_pre: (rows, live) values in segment-contiguous order; end_idx: (n,)
+    inclusive-end row count per segment (nondecreasing); valid: (n,) bool
+    (False -> zero segment).
+
+    compensated=True adds an error-compensated second term: the raw
+    prefix-diff error is O(eps * |prefix|) ABSOLUTE per segment, and the
+    moment columns' prefixes reach ~1e6 on 1080p scenes — up to ~0.3
+    absolute noise on small-gradient splats (measured vs a float64
+    scatter-add oracle). The realized f32 increments inc_i = cs_i -
+    cs_{i-1} differ from d_pre_i by the per-step rounding r_i (computable
+    exactly in f32 — Fast2Sum residue); a second prefix over r recovers
+    the lost mass, leaving only second-order error. Both prefix samples
+    ride ONE row gather (row gathers cost the same regardless of width)."""
+    live = d_pre.shape[1]
+    n = end_idx.shape[0]
+    rows = d_pre.shape[0]
+    cs = _ob(jnp.cumsum(d_pre, axis=0))
+    if compensated:
+        prev_cs = jnp.concatenate([jnp.zeros((1, live), cs.dtype), cs[:-1]], 0)
+        r = d_pre - (cs - prev_cs)
+        cr = _ob(jnp.cumsum(r, axis=0))
+        cs = jnp.concatenate([cs, cr], axis=1)
+    cs_end = jnp.where(
+        valid[:, None],
+        _row_gather_sorted(cs, jnp.clip(end_idx - 1, 0, rows - 1)),
+        0.0,
+    )
+    prev = jnp.concatenate(
+        [jnp.zeros((1, cs.shape[1]), cs.dtype), cs_end[:-1]], 0
+    )
+    seg = cs_end - prev
+    if compensated:
+        seg = seg[:, :live] + seg[:, live:]
+    return seg
+
+
+def _reduce_instance_grads_packed(
+    grads, perm, boundaries, cap: int, compensated: bool = False
+):
     """(NUM_FIELDS, cap) slot-aligned grads -> (N, NUM_FIELDS) per-gaussian.
 
     The packed kernels write one grad row per SORTED SLOT, so the
     gaussian-major reordering is the precomputed binning permutation (one
     int32 sort there replaces the round-1 reduction's f32 (key, pos) sort
     here); per-gaussian sums are prefix differences at the kept-instance
-    boundaries. Rows past kept_total are sentinel/invalid slots (zeros) or
+    boundaries (error-compensated when `compensated` — exact-grad mode).
+    Rows past kept_total are sentinel/invalid slots (zeros) or
     unexecuted-chunk garbage — masked before the cumsum."""
     live = NUM_USED_FIELDS
     n = boundaries.shape[0]
@@ -168,60 +227,80 @@ def _reduce_instance_grads_packed(grads, perm, boundaries, cap: int):
     kept_total = boundaries[-1]
     idx = jnp.arange(cap, dtype=jnp.int32)
     d_pre = jnp.where((idx < kept_total)[:, None], d_pre, 0.0)
-    cs = _ob(jnp.cumsum(d_pre, axis=0))
-    cs_end = jnp.where(
-        (boundaries > 0)[:, None],
-        _row_gather_sorted(cs, jnp.clip(boundaries - 1, 0, cap - 1)),
-        0.0,
-    )
-    prev = jnp.concatenate([jnp.zeros((1, live), cs.dtype), cs_end[:-1]], 0)
-    seg = cs_end - prev
+    seg = _segment_prefix_diff(d_pre, boundaries, boundaries > 0, compensated)
     return jnp.concatenate(
         [seg, jnp.zeros((n, NUM_FIELDS - live), seg.dtype)], axis=1
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def blend_gaussians_packed(
     tiles_x: int,
+    t_out: int,
     num_tiles: int,
     cap: int,
+    cap_total: int,
     fast_grad: bool,
     table,
     bookkeeping,
 ):
     """Packed-chunk stage + alpha-composite (render/tiles_packed.py).
-    Returns (T, OUT_ROWS, PIX) tile blocks like blend_gaussians.
+    Returns (t_out, OUT_ROWS, PIX) tile blocks like blend_gaussians.
 
-    bookkeeping: (gid_sorted, tid_sorted, sent_sorted, tile_lo, meta,
-    perm, boundaries) with meta = [chunks_exec, tile_start, tile_end, cap]
-    int32."""
-    gid_sorted, tid_sorted, sent_sorted, tile_lo, meta, perm, boundaries = (
-        bookkeeping
-    )
+    t_out: output tile-block count — num_tiles when unsharded, this
+      device's tile-slice size under tile sharding (out blocks are indexed
+      by tile - tile_start).
+    num_tiles: GLOBAL tile count (staging dead-check domain).
+    cap: slot count of this call's sorted-array slice (== cap_total when
+      unsharded). cap_total: the global slot domain (presort-slot keys).
+    bookkeeping: (gid_sorted, tid_sorted, sent_sorted, j_sorted, tile_lo,
+      meta, perm, boundaries) with meta = [chunks_exec, tile_start,
+      tile_end, cap_total] int32, all sliced to this device's chunk range
+      under sharding. perm is the global sorted-slot -> gaussian-major
+      permutation (full coverage) or None under sharding, where the VJP
+      instead reduces the local slot slice by its presort-slot keys
+      (boundaries = binning.emit_cum)."""
+    (gid_sorted, tid_sorted, sent_sorted, j_sorted, tile_lo, meta, perm,
+     boundaries) = bookkeeping
     fields = _build_fields_packed(
-        table, gid_sorted, tid_sorted, sent_sorted, tiles_x, num_tiles
+        table, gid_sorted, tid_sorted, sent_sorted, j_sorted, tiles_x,
+        num_tiles, cap_total,
     )
-    return _blend_forward_call_packed(num_tiles, cap, fields, tile_lo, meta)
+    return _blend_forward_call_packed(t_out, cap, fields, tile_lo, meta)
 
 
-def _blend_packed_fwd(tiles_x, num_tiles, cap, fast_grad, table, bookkeeping):
-    gid_sorted, tid_sorted, sent_sorted, tile_lo, meta, perm, boundaries = (
-        bookkeeping
-    )
+def _blend_packed_fwd(
+    tiles_x, t_out, num_tiles, cap, cap_total, fast_grad, table, bookkeeping
+):
+    (gid_sorted, tid_sorted, sent_sorted, j_sorted, tile_lo, meta, perm,
+     boundaries) = bookkeeping
     fields = _build_fields_packed(
-        table, gid_sorted, tid_sorted, sent_sorted, tiles_x, num_tiles
+        table, gid_sorted, tid_sorted, sent_sorted, j_sorted, tiles_x,
+        num_tiles, cap_total,
     )
-    out = _blend_forward_call_packed(num_tiles, cap, fields, tile_lo, meta)
+    out = _blend_forward_call_packed(t_out, cap, fields, tile_lo, meta)
     return out, (fields, tile_lo, meta, perm, boundaries, out)
 
 
-def _blend_packed_bwd(tiles_x, num_tiles, cap, fast_grad, res, g):
+def _blend_packed_bwd(
+    tiles_x, t_out, num_tiles, cap, cap_total, fast_grad, res, g
+):
     fields, tile_lo, meta, perm, boundaries, out = res
     grads = _blend_backward_call_packed(
-        num_tiles, cap, fast_grad, fields, tile_lo, meta, out, g
+        t_out, cap, fast_grad, fields, tile_lo, meta, out, g
     )
-    d_table = _reduce_instance_grads_packed(grads, perm, boundaries, cap)
+    if perm is None:
+        # tile-sharded: reduce only this device's slot slice by its
+        # presort-slot keys (kernel grad row PRESORT_ROW); boundaries is
+        # emit_cum. Rows past the executed chunks are uninitialized.
+        d_table = _reduce_instance_grads(
+            grads, boundaries, cap_total, jnp.int32(0), meta[0] * CHUNK,
+            True, compensated=not fast_grad,
+        )
+    else:
+        d_table = _reduce_instance_grads_packed(
+            grads, perm, boundaries, cap, compensated=not fast_grad
+        )
     return d_table, None
 
 
@@ -306,7 +385,13 @@ def _blend_backward_call(
 
 
 def _reduce_instance_grads(
-    grads, boundaries, cap: int, grad_lo, grad_hi, partial_coverage: bool
+    grads,
+    boundaries,
+    cap: int,
+    grad_lo,
+    grad_hi,
+    partial_coverage: bool,
+    compensated: bool = False,
 ):
     """(NUM_FIELDS, grad_cap) per-instance grads -> (N, NUM_FIELDS)
     per-gaussian grads.
@@ -330,10 +415,11 @@ def _reduce_instance_grads(
     is recovered with one rank pass over the already-sorted keys (which
     also absorbs the cull's compaction).
 
-    Precision note: the prefix-difference introduces O(eps * |prefix|)
-    absolute error per gaussian (vs exact per-segment addition). Segment
-    grads are later consumed by Adam (scale-invariant per coordinate);
-    gradient-match tests vs the oracle stay within tolerance.
+    Precision note: the raw prefix-difference introduces O(eps * |prefix|)
+    absolute error per gaussian (vs exact per-segment addition) — up to
+    ~0.3 absolute on the moment columns at 1080p scale. `compensated`
+    (exact-grad mode) adds the Fast2Sum error-prefix second term
+    (_segment_prefix_diff), reducing it to second order.
     """
     n = boundaries.shape[0]
     grad_cap = grads.shape[1]
@@ -351,23 +437,18 @@ def _reduce_instance_grads(
     # hidden iota a stable sort adds
     key_s, idx_s = jax.lax.sort((key, pos), num_keys=2, is_stable=False)
     rows_all = _ob(grads.T)  # (grad_cap, NUM_FIELDS), bandwidth-cheap
+    # a tile-sharded local buffer can be SMALLER than the global slot
+    # domain `cap`; all row-level work below runs at min(grad_cap, cap)
     key_c = key_s[:cap]
     d_pre = _ob(rows_all[idx_s[:cap]])[:, :live]  # (cap, live) gaussian-major
     # rows keyed >= cap (uncovered / sentinel-tagged / dead lanes) may hold
     # garbage; they sort to the tail but can still land inside [0, cap)
     d_pre = jnp.where((key_c < cap)[:, None], d_pre, 0.0)
-    cs = _ob(jnp.cumsum(d_pre, axis=0))  # (cap, live)
     if partial_coverage:
         end_pos = _rank_in_sorted(key_c, boundaries - 1)
     else:
         end_pos = boundaries  # kept-instance boundary COUNTS, nondecreasing
-    cs_end = jnp.where(
-        (end_pos > 0)[:, None],
-        _ob(cs[jnp.clip(end_pos - 1, 0, cap - 1)]),
-        0.0,
-    )  # (n, live)
-    prev = jnp.concatenate([jnp.zeros((1, live), cs.dtype), cs_end[:-1]], 0)
-    seg = cs_end - prev
+    seg = _segment_prefix_diff(d_pre, end_pos, end_pos > 0, compensated)
     return jnp.concatenate(
         [seg, jnp.zeros((n, NUM_FIELDS - live), seg.dtype)], axis=1
     )
@@ -454,7 +535,8 @@ def _blend_bwd(
         g,
     )
     d_table = _reduce_instance_grads(
-        grads, boundaries, cap, grad_range[0], grad_range[1], partial_coverage
+        grads, boundaries, cap, grad_range[0], grad_range[1],
+        partial_coverage, compensated=not fast_grad,
     )
     return d_table, None, None, None
 
@@ -526,6 +608,8 @@ def render(
         out_tiles = blend_gaussians_packed(
             settings.tiles_x,
             settings.num_tiles,
+            settings.num_tiles,
+            cap,
             cap,
             settings.fast_grad,
             table,
@@ -533,6 +617,7 @@ def render(
                 binning.gid_sorted,
                 binning.tid_sorted,
                 binning.sent_sorted,
+                binning.j_sorted,
                 binning.tile_lo,
                 meta,
                 binning.perm,

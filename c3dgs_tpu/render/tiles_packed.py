@@ -51,7 +51,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .binning import CHUNK, NUM_FIELDS
+from .binning import CHUNK, NUM_FIELDS, OFFSET_ROW as OFFSET_FIELD_ROW
 from .tiles import (
     LOG_EXIT_T,
     LOG_STOP_T,
@@ -229,7 +229,9 @@ def forward_kernel(
                 )
 
             def flush(g, _):
-                t = lo + g
+                # out blocks are indexed by LOCAL tile id (t - tile_start):
+                # a tile-sharded device owns a (t_local, OUT_ROWS, PIX) out
+                t = lo + g - tile_start
                 mg = (grp == g.astype(jnp.float32))
                 sel0 = jnp.where(g == 0, 1.0, 0.0)
                 col = group_color(mg) + sel0 * carry_c[...]
@@ -237,7 +239,7 @@ def forward_kernel(
                 lt_row = lt.T  # the flush's ONE (PIX,1)->(1,PIX) relayout
                 fz = jnp.where((g == 0) & (frz0 >= 0), frz0, cap)
 
-                @pl.when(t >= tile_start + 2)
+                @pl.when(t >= 2)
                 def _():
                     out_dma((t - 2) % 2, t - 2).wait()
 
@@ -267,16 +269,19 @@ def forward_kernel(
             def _():
                 frz[0] = -1
 
-    # drain the flush ring at the very end (the last two tiles' DMAs)
+    # drain the flush ring at the very end (the last two tiles' DMAs,
+    # local indices)
     @pl.when(c == pl.num_programs(0) - 1)
     def _():
-        @pl.when(tile_end - tile_start >= 2)
-        def _():
-            out_dma((tile_end - 2) % 2, tile_end - 2).wait()
+        n_loc = tile_end - tile_start
 
-        @pl.when(tile_end - tile_start >= 1)
+        @pl.when(n_loc >= 2)
         def _():
-            out_dma((tile_end - 1) % 2, tile_end - 1).wait()
+            out_dma((n_loc - 2) % 2, n_loc - 2).wait()
+
+        @pl.when(n_loc >= 1)
+        def _():
+            out_dma((n_loc - 1) % 2, n_loc - 1).wait()
 
 
 def backward_kernel(
@@ -341,11 +346,14 @@ def backward_kernel(
         )
 
     def tg_dma(slot, t):
-        return pltpu.make_async_copy(tg_hbm.at[t], tgbuf.at[slot], tgsems.at[slot])
+        # tile blocks are indexed by LOCAL tile id under tile sharding
+        return pltpu.make_async_copy(
+            tg_hbm.at[t - tile_start], tgbuf.at[slot], tgsems.at[slot]
+        )
 
     def htg_dma(slot, t):
         return pltpu.make_async_copy(
-            tg_hbm.at[t], htgbuf.at[slot], htgsems.at[slot]
+            tg_hbm.at[t - tile_start], htgbuf.at[slot], htgsems.at[slot]
         )
 
     def head_ng(i):
@@ -458,7 +466,10 @@ def backward_kernel(
 
             tg = jax.lax.cond(g == 0, head_bufs, ring_bufs)
             # the ONE lane->sublane relayout per flush: all operand columns
-            # below are natural (PIX, 1) slices of the transposed block
+            # below are natural (PIX, 1) slices of the transposed block.
+            # (An MXU identity-matmul transpose measured 0.6 ms SLOWER:
+            # the (PIX, 2*OUT_ROWS) output makes it an M=512 pass x2 for
+            # the hi/lo split — more than the VPU relayout it replaces.)
             tgT = tg.T  # (PIX, 2*OUT_ROWS)
 
             # rotate the open-tile state NOW (chunk c-1's trailing tile is
@@ -554,7 +565,14 @@ def backward_kernel(
                        suf_in[0:1, :], wgt[0:1, :],
                        jnp.zeros((NUM_FIELDS - 14, CHUNK), jnp.float32)]
             else:
-                dbg = [jnp.zeros((NUM_FIELDS - 9, CHUNK), jnp.float32)]
+                # row PRESORT_ROW: the lane's pre-sort slot (staged in
+                # fields row OFFSET_ROW; cap_total on dead lanes) — lets a
+                # tile-sharded device reduce its LOCAL grad slice with the
+                # partial_coverage reducer instead of the global perm
+                dbg = [
+                    f[OFFSET_FIELD_ROW : OFFSET_FIELD_ROW + 1, :],
+                    jnp.zeros((NUM_FIELDS - 10, CHUNK), jnp.float32),
+                ]
             gout_rows = jnp.concatenate(
                 [g_x, g_y, mxx, mxy, myy, g_op, g_rgb] + dbg, axis=0
             )
@@ -575,11 +593,20 @@ def backward_kernel(
             return gout_rows, new_s, new_lt
 
         def skip():
-            return (
-                jnp.zeros((NUM_FIELDS, CHUNK), jnp.float32),
-                s_carry[...],
-                lt_carry[...],
+            # zero grads, but the PRESORT row must still carry the real
+            # keys: an all-zero row would enter the partial reducer as
+            # presort slot 0, shifting every gaussian's rank boundary
+            # (frozen chunks are common under tile sharding, where foreign
+            # chunks have ng clamped to 0)
+            zrows = jnp.concatenate(
+                [
+                    jnp.zeros((9, CHUNK), jnp.float32),
+                    f[OFFSET_FIELD_ROW : OFFSET_FIELD_ROW + 1, :],
+                    jnp.zeros((NUM_FIELDS - 10, CHUNK), jnp.float32),
+                ],
+                axis=0,
             )
+            return (zrows, s_carry[...], lt_carry[...])
 
         gout_rows, new_s, new_lt = jax.lax.cond(frozen, skip, compute)
         s_carry[...] = new_s

@@ -189,3 +189,128 @@ def test_fresh_observers_are_identity(tmp_path):
     observed = loaded.update_observers()
     op_q = np.asarray(observed.get_opacity())[np.asarray(observed.active)]
     assert np.abs(op_q - ref).max() < (ref.max() - min(ref.min(), 0)) / 128
+
+
+def test_npz_reference_semantics_golden(tmp_path):
+    """Interop golden: a hand-constructed npz with the reference's EXACT
+    torch conventions (scene/gaussian_model.py:505-623 — int8 `int_repr`
+    with per-tensor affine (scale, zero_point), fp16 xyz, opacity stored
+    POST-sigmoid, scaling post relu+L2-normalize, rotation post normalize,
+    scaling_factor raw log-domain, (1,)-shaped scale / int zero_point
+    arrays, int32 codebook indices) must load into the documented attribute
+    semantics, and save_npz must round-trip it."""
+    rng = np.random.default_rng(11)
+    n, n_codes = 60, 16
+
+    def torch_quantize(x, scale, zp):
+        # torch.quantize_per_tensor(...).int_repr(): nearbyint (half-even,
+        # np.round matches) then clamp to qint8
+        q = np.clip(np.round(x / scale + zp), -128, 127)
+        return q.astype(np.int8)
+
+    # raw attributes in the reference's STORED domains
+    xyz = rng.normal(size=(n, 3)).astype(np.float32)
+    f_dc = (rng.normal(size=(n_codes, 1, 3)) * 0.5).astype(np.float32)
+    f_rest = (rng.normal(size=(n_codes, 15, 3)) * 0.1).astype(np.float32)
+    opacity_act = rng.uniform(0.02, 0.98, size=(n, 1)).astype(np.float32)
+    scaling_dir = np.abs(rng.normal(size=(n_codes, 3))).astype(np.float32)
+    scaling_dir /= np.linalg.norm(scaling_dir, axis=1, keepdims=True)
+    sfac = rng.normal(size=(n, 1)).astype(np.float32) - 3.0
+    rot = rng.normal(size=(n_codes, 4)).astype(np.float32)
+    rot /= np.linalg.norm(rot, axis=1, keepdims=True)
+    # every codebook entry used at least once (save-side compaction drops
+    # unreferenced rows, which would legitimately change shapes)
+    fid = np.concatenate(
+        [np.arange(n_codes), rng.integers(0, n_codes, size=n - n_codes)]
+    ).astype(np.int32)
+    gid = np.concatenate(
+        [np.arange(n_codes), rng.integers(0, n_codes, size=n - n_codes)]
+    ).astype(np.int32)
+
+    qp = {  # (scale, zero_point) per attribute, torch-style values
+        "features_dc": (0.01, 3),
+        "features_rest": (0.002, -5),
+        "opacity": (1 / 255.0, -128),
+        "scaling": (1 / 254.0, -127),
+        "scaling_factor": (0.05, 10),
+        "rotation": (1 / 127.0, 0),
+    }
+    d = {"quantization": np.bool_(True), "xyz": xyz.astype(np.float16)}
+    for name, arr in [
+        ("features_dc", f_dc),
+        ("features_rest", f_rest),
+        ("opacity", opacity_act),
+        ("scaling", scaling_dir),
+        ("scaling_factor", sfac),
+        ("rotation", rot),
+    ]:
+        s, z = qp[name]
+        d[name] = torch_quantize(arr, s, z)
+        d[f"{name}_scale"] = np.asarray([s], np.float32)
+        d[f"{name}_zero_point"] = np.asarray([z], np.int64)
+    d["feature_indices"] = fid
+    d["gaussian_indices"] = gid
+    path = tmp_path / "ref_golden.npz"
+    np.savez_compressed(path, **d)
+
+    scene = io_npz.load_npz(str(path))
+    deq = lambda name: (
+        d[name].astype(np.float32) - qp[name][1]
+    ) * qp[name][0]
+
+    # loaded attributes: documented domains, exact dequantized values
+    np.testing.assert_allclose(
+        np.asarray(scene.xyz), xyz.astype(np.float16).astype(np.float32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(scene.features_dc), deq("features_dc"), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(scene.features_rest), deq("features_rest"), atol=1e-7
+    )
+    # opacity attr stores the PRE-sigmoid logit of the dequantized value
+    import scipy.special as sp
+
+    expect_op = sp.logit(np.clip(deq("opacity"), 1e-6, 1 - 1e-6))
+    np.testing.assert_allclose(
+        np.asarray(scene.opacity), expect_op, rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(scene.scaling), deq("scaling"), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(scene.scaling_factor), deq("scaling_factor"), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(scene.rotation), deq("rotation"), atol=1e-7
+    )
+    np.testing.assert_array_equal(np.asarray(scene.feature_indices), fid)
+    np.testing.assert_array_equal(np.asarray(scene.gaussian_indices), gid)
+    assert scene.quantization and scene.use_factor_scaling
+    assert scene.is_color_indexed and scene.is_gaussian_indexed
+
+    # round-trip: re-saving must preserve attribute VALUES to within one
+    # quant step (observer ranges re-derive from the dequantized data, so
+    # scale/zp may shift by <= 1 code — the reference behaves identically,
+    # gaussian_model.py:648-719)
+    path2 = tmp_path / "resaved.npz"
+    io_npz.save_npz(scene, str(path2))
+    scene2 = io_npz.load_npz(str(path2))
+    for name, get in [
+        ("features_dc", lambda s: s.features_dc),
+        ("features_rest", lambda s: s.features_rest),
+        ("scaling", lambda s: s.scaling),
+        ("scaling_factor", lambda s: s.scaling_factor),
+        ("rotation", lambda s: s.rotation),
+    ]:
+        a, b = np.asarray(get(scene)), np.asarray(get(scene2))
+        np.testing.assert_allclose(
+            a, b, atol=1.5 * qp[name][0], err_msg=name
+        )
+    np.testing.assert_array_equal(
+        np.asarray(scene2.feature_indices), fid
+    )
+    d2 = np.load(path2)
+    assert set(d2.files) == set(d.keys()), (
+        sorted(d2.files), sorted(d.keys())
+    )
