@@ -394,7 +394,12 @@ def from_point_cloud(
     )
 
     if knn_scale_init and n > 3:
-        dist2 = np.asarray(misc.mean_knn_sq_dist(jnp.asarray(points, jnp.float32)))
+        knn = (
+            misc.mean_knn_sq_dist
+            if n <= misc.EXACT_KNN_MAX_POINTS
+            else misc.mean_knn_sq_dist_large  # Morton-window approximation
+        )
+        dist2 = np.asarray(knn(jnp.asarray(points, jnp.float32)))
         dist2 = np.maximum(dist2, 1e-7)
         log_scale = 0.5 * np.log(dist2)  # log(sqrt(d2))
     else:

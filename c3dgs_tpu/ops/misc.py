@@ -82,3 +82,42 @@ def mean_knn_sq_dist(xyz: jax.Array, k: int = 3, chunk: int = 4096) -> jax.Array
     out = jnp.zeros(xyz_p.shape[0], xyz.dtype)
     out = jax.lax.fori_loop(0, n_chunks, body, out)
     return out[:n]
+
+
+# exact pairwise kNN materializes a (chunk, N) block — past this point the
+# block alone outgrows HBM (4096 x 5M f32 = 82 GB) and the Morton-window
+# approximation takes over
+EXACT_KNN_MAX_POINTS = 1_500_000
+
+
+def mean_knn_sq_dist_large(
+    xyz: jax.Array, k: int = 3, window: int = 32
+) -> jax.Array:
+    """Approximate k-NN mean squared distance for BIG clouds (> ~1.5M
+    points): sort by Morton code, take each point's k nearest among its
+    +-window neighbors in Morton order. Memory O(N * window); the locality
+    of the Z-order curve makes the window candidates near-optimal for the
+    scale-init use (the only consumer — the reference's exact 3-NN feeds
+    log() for an initial scale, so small overestimates are harmless)."""
+    from . import morton
+
+    n = xyz.shape[0]
+    xyz_np = np.asarray(xyz)
+    order = morton.morton_order(xyz_np)
+    inv = np.empty_like(order)
+    inv[order] = np.arange(n)
+    xs = jnp.asarray(xyz_np[order])
+
+    sq = jnp.sum(xs * xs, axis=1)
+    ds = []
+    for off in range(1, window + 1):
+        for sgn in (1, -1):
+            shifted = jnp.roll(xs, sgn * off, axis=0)
+            d = jnp.sum((xs - shifted) ** 2, axis=1)
+            # roll wraps: the first/last `off` rows see far-away points —
+            # harmless (still real points, only an overestimate candidate)
+            ds.append(d)
+    dmat = jnp.stack(ds, axis=1)  # (n, 2*window)
+    neg_topk = jax.lax.top_k(-dmat, k)[0]
+    mean_k = jnp.maximum(-neg_topk, 0.0).mean(axis=1)
+    return mean_k[jnp.asarray(inv)]

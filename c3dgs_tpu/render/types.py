@@ -12,6 +12,10 @@ from typing import Tuple
 
 TILE_X = 32  # pixels per tile, x (reference config.h:16 uses 16; 32 wins on TPU)
 TILE_Y = 16  # pixels per tile, y (reference config.h:17)
+# binning slot-domain ceiling: sentinel positions pack into 24 bits and
+# presort slots must be exact in f32 (render/binning.py) — 16.7M instances,
+# enough for ~5M-gaussian scenes at trained tile fanouts
+MAX_BINNING_CAP = (1 << 24) - (1 << 20)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -74,10 +78,22 @@ class RasterSettings:
         return self.tiles_x * self.tiles_y
 
     def resolve_caps(self, num_gaussians: int) -> Tuple[int, int]:
-        inst = self.instance_capacity or max(1024, 8 * num_gaussians)
+        inst = self.instance_capacity
+        if not inst:
+            # auto-cap: 8x gaussians, clamped to the binning slot domain
+            # (sentinel-position packing + exact-in-f32 presort slots both
+            # need cap < 2^24 — render/binning.py); multi-frame pipelines
+            # should probe the true instance count instead
+            # (render/capacity.py)
+            inst = min(max(1024, 8 * num_gaussians), MAX_BINNING_CAP)
         # round to the 128-chunk grain: the staged fields array is read by
         # the kernels in aligned 128-lane chunks
         inst = (inst + 127) // 128 * 128
+        assert inst + self.num_tiles < (1 << 24), (
+            "instance_capacity + num_tiles must stay below 2^24 "
+            "(binning packs slot positions into 24 bits and presort slots "
+            f"into exact f32); got {inst}"
+        )
         # gather-based binning makes large per-gaussian fanouts free; the
         # cap only exists as an explicit user knob
         mtpg = self.max_tiles_per_gaussian or self.num_tiles

@@ -83,6 +83,25 @@ def run_vq(model_p, opt_p, pipe_p, comp_p):
     t0 = time.time()
     eval_cams = scene.get_test_cameras() or scene.get_train_cameras()[:8]
     results = render_and_eval(compressed, eval_cams, npz_path=npz_path)
+    # uncompressed baseline on the same split: compression ratio (vs the
+    # trained .ply) and the PSNR drop — the reference's headline numbers
+    # (>= 26-31x at <= 0.5 dB)
+    base = render_and_eval(gaussians, eval_cams)
+    results["uncompressed_psnr"] = base["psnr"]
+    if results.get("psnr") is not None and base.get("psnr") is not None:
+        results["psnr_drop"] = base["psnr"] - results["psnr"]
+    import glob as _glob
+
+    plys = sorted(
+        _glob.glob(
+            os.path.join(model_p.model_path, "point_cloud", "*", "point_cloud.ply")
+        )
+    )
+    if plys:
+        ply_bytes = os.path.getsize(plys[-1])
+        results["ply_size_bytes"] = ply_bytes
+        if results.get("size_bytes"):
+            results["compression_ratio"] = ply_bytes / results["size_bytes"]
     timings["eval"] = time.time() - t0
     timings["total"] = sum(timings.values())
 

@@ -53,30 +53,41 @@ def ring_cameras(num=12, radius=4.0, height=1.2):
 
 
 def write_blender_dataset(
-    out_dir: str, res: int = 64, num_train: int = 12, num_test: int = 4, fov=0.9
+    out_dir: str,
+    res: int = 64,
+    num_train: int = 12,
+    num_test: int = 4,
+    fov=0.9,
+    scene=None,
+    use_pallas: bool = False,
+    radius: float = 4.0,
+    init_noise: float = 0.05,
+    init_subsample: int = 1,
 ):
     """Render GT views and write transforms_{train,test}.json + PNGs.
-    Returns (gt_scene, settings)."""
+    Returns (gt_scene, settings). `use_pallas` renders GT with the tile
+    rasterizer (needed for big scenes — the oracle's N-step scan is slow
+    past a few thousand splats; they match to <5e-3, below PNG's 1/255
+    quantization)."""
     from PIL import Image
 
-    scene = gt_scene()
+    if scene is None:
+        scene = gt_scene()
     settings = RasterSettings(
         width=res,
         height=res,
         tanfovx=math.tan(fov / 2),
         tanfovy=math.tan(fov / 2),
-        sh_degree=0,
+        sh_degree=scene.active_sh_degree,
     )
     bg = jnp.zeros(3)
     cov = scene.get_covariance()
-    for split, num, r in (
-        ("train", num_train, 4.0),
-        ("test", num_test, 4.3),
-    ):
-        frames = []
-        os.makedirs(os.path.join(out_dir, split), exist_ok=True)
-        for i, (ev, c2w) in enumerate(ring_cameras(num, radius=r)):
-            out = render_oracle(
+
+    def render(ev):
+        if use_pallas:
+            from c3dgs_tpu.render import rasterizer
+
+            return rasterizer.render(
                 scene.get_xyz(),
                 cov,
                 scene.get_opacity()[:, 0],
@@ -85,6 +96,24 @@ def write_blender_dataset(
                 bg,
                 shs=scene.get_features(),
             )
+        return render_oracle(
+            scene.get_xyz(),
+            cov,
+            scene.get_opacity()[:, 0],
+            jnp.asarray(ev),
+            settings,
+            bg,
+            shs=scene.get_features(),
+        )
+
+    for split, num, r in (
+        ("train", num_train, radius),
+        ("test", num_test, radius * 1.075),
+    ):
+        frames = []
+        os.makedirs(os.path.join(out_dir, split), exist_ok=True)
+        for i, (ev, c2w) in enumerate(ring_cameras(num, radius=r)):
+            out = render(ev)
             img = np.clip(np.asarray(out["render"]), 0, 1)
             path = f"{split}/r_{i}.png"
             Image.fromarray(
@@ -104,10 +133,13 @@ def write_blender_dataset(
     rng = np.random.default_rng(0)
     pts = np.asarray(scene.xyz) + rng.normal(size=(scene.capacity, 3)).astype(
         np.float32
-    ) * 0.05
+    ) * init_noise
     cols = (np.clip(np.asarray(scene.features_dc)[:, 0] * 0.28 + 0.5, 0, 1) * 255).astype(
         np.uint8
     )
+    if init_subsample > 1:  # SfM-like sparse init
+        pts = pts[::init_subsample]
+        cols = cols[::init_subsample]
     io_ply.write_vertices(
         os.path.join(out_dir, "points3d.ply"),
         {

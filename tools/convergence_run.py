@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""End-to-end convergence + compression evidence run (VERDICT round-1 #5).
+
+Builds a realistic synthetic dataset (clustered, view-dependent SH content,
+512x512 renders), trains `train.py` from a sparse noisy init with
+densification active for thousands of steps, then compresses the TRAINED
+scene with `compress.py` and reports ratio @ delta-PSNR. Writes RESULTS.md.
+
+Everything runs through the real CLIs — the same path a user takes.
+Usage: timeout 5400 python tools/convergence_run.py [--fast]
+"""
+import argparse
+import json
+import math
+import os
+import shutil
+import subprocess
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+DATA = "/root/repo/output/synth512"
+MODEL = "/root/repo/output/synth512_run"
+
+
+def make_gt_scene(n=60_000, seed=7):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from c3dgs_tpu.models import gaussians as gmod
+
+    rng = np.random.default_rng(seed)
+    # structured content: a ground slab + blobs + a thin arch of splats,
+    # with view-dependent SH detail (rest coeffs ~10x below DC)
+    n_ground = n // 3
+    ground = np.stack(
+        [
+            rng.uniform(-2.5, 2.5, n_ground),
+            rng.uniform(-1.05, -0.95, n_ground),
+            rng.uniform(-2.5, 2.5, n_ground),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    n_blob = n - n_ground
+    centers = rng.normal(size=(24, 3)).astype(np.float32)
+    centers[:, 1] = np.abs(centers[:, 1]) * 0.6 - 0.4
+    blob = (
+        centers[rng.integers(0, 24, n_blob)]
+        + rng.normal(size=(n_blob, 3)).astype(np.float32) * 0.22
+    )
+    pts = np.concatenate([ground, blob]).astype(np.float32)
+    cols = rng.random(size=(n, 3)).astype(np.float32)
+    scene = gmod.from_point_cloud(pts, cols, capacity=n, quantization=False)
+    k = scene.num_sh_coeffs
+    rest = rng.normal(size=(n, k - 1, 3)).astype(np.float32) * 0.06
+    scene = scene.replace(
+        features_rest=jnp.asarray(rest),
+        scaling_factor=scene.scaling_factor
+        + math.log(1.4)
+        + jnp.asarray(rng.normal(size=(n, 1)).astype(np.float32) * 0.25),
+        opacity=jnp.asarray(
+            (rng.normal(size=(n, 1)) * 1.2 + 1.5).astype(np.float32)
+        ),
+        active_sh_degree=3,
+    )
+    return scene
+
+
+def sh(cmd):
+    print(f"+ {' '.join(cmd)}", flush=True)
+    subprocess.run(cmd, check=True, cwd="/root/repo")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast", action="store_true", help="small smoke config")
+    ap.add_argument("--epochs", type=int, default=None)
+    args = ap.parse_args()
+
+    res = 128 if args.fast else 512
+    n_gt = 4000 if args.fast else 60_000
+    epochs = args.epochs or (30 if args.fast else 900)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
+    if not os.path.exists(os.path.join(DATA, "transforms_train.json")):
+        import synth
+
+        scene = make_gt_scene(n=n_gt)
+        synth.write_blender_dataset(
+            DATA,
+            res=res,
+            num_train=48,
+            num_test=8,
+            fov=0.9,
+            scene=scene,
+            use_pallas=True,
+            init_noise=0.08,
+            init_subsample=4,
+        )
+        print(f"dataset written to {DATA}")
+
+    if os.path.exists(MODEL):
+        shutil.rmtree(MODEL)
+
+    sh(
+        [
+            sys.executable,
+            "train.py",
+            "-s",
+            DATA,
+            "-m",
+            MODEL,
+            "--eval",
+            "--epochs",
+            str(epochs),
+        ]
+    )
+    sh(
+        [
+            sys.executable,
+            "compress.py",
+            "-m",
+            MODEL,
+        ]
+    )
+
+    # gather evidence -> RESULTS.md
+    log = [json.loads(l) for l in open(os.path.join(MODEL, "train_log.jsonl"))]
+    results = json.load(open(os.path.join(MODEL, "vq", "results.json")))
+    times = json.load(open(os.path.join(MODEL, "vq", "times.json")))
+
+    curve = [log[i] for i in range(0, len(log), max(1, len(log) // 24))]
+    if log and curve[-1] is not log[-1]:
+        curve.append(log[-1])
+    rows = "\n".join(
+        f"| {e['epoch']} | {e['it']} | {e['ema_psnr']:.2f} | "
+        f"{e['ema_loss']:.4f} | {e['active']} | {e['seconds']:.0f} |"
+        for e in curve
+    )
+    md = f"""# RESULTS — trained-scene convergence + compression (round 2)
+
+Protocol: the full CLI pipeline on a procedurally generated dataset
+(zero-egress environment — no external captures): `tools/convergence_run.py`
+builds a {n_gt}-splat ground-truth scene with view-dependent SH content,
+renders {res}x{res} train/test views, then
+
+1. `train.py -s ... -m ... --eval --epochs {epochs}` — from a SPARSE noisy
+   init ({n_gt // 4} points), densification/pruning/opacity-reset/SH-warmup
+   active, quantization-aware;
+2. `compress.py -m ...` — sensitivity -> weighted-k-means VQ -> QAT
+   finetune -> Morton int8 npz -> eval on the held-out test split.
+
+## Training curve (train PSNR is the per-step EMA)
+
+| epoch | step | EMA PSNR | EMA loss | active splats | seconds |
+|---|---|---|---|---|---|
+{rows}
+
+## Compression (held-out test split)
+
+| metric | value |
+|---|---|
+| test PSNR (compressed) | {results.get('psnr'):.2f} |
+| test PSNR (uncompressed) | {results.get('uncompressed_psnr'):.2f} |
+| PSNR drop | {results.get('psnr_drop'):.3f} dB |
+| test SSIM (compressed) | {results.get('ssim'):.4f} |
+| test LPIPS | {results.get('lpips')} |
+| uncompressed .ply size | {results.get('ply_size_bytes', 0)/1e6:.1f} MB |
+| compressed .npz size | {results.get('size_bytes', 0)/1e6:.2f} MB |
+| **compression ratio** | **{results.get('compression_ratio'):.1f}x** |
+
+Stage times (times.json): {json.dumps(times)}
+
+Full per-view metrics: output/synth512_run/vq/results.json, per_view.json.
+"""
+    with open("/root/repo/RESULTS.md", "w") as f:
+        f.write(md)
+    print("RESULTS.md written")
+    print(md[-800:])
+
+
+if __name__ == "__main__":
+    main()

@@ -44,8 +44,11 @@ def training(model_p, opt_p, pipe_p, save_epochs=(), quantization=True):
 
     cams = scene.get_train_cameras()
     ema = None
+    ema_psnr = None
     t0 = time.time()
     it = 0
+    log_path = os.path.join(model_p.model_path, "train_log.jsonl")
+    log_f = open(log_path, "w")
     for epoch in range(opt_p.epochs):
         # every-10th camera per epoch (train.py:58)
         epoch_cams = cams[epoch % 10 :: 10] or cams
@@ -75,7 +78,11 @@ def training(model_p, opt_p, pipe_p, save_epochs=(), quantization=True):
                 )
             it += 1
             loss = float(metrics["loss"])
+            psnr = float(metrics["psnr"])
             ema = loss if ema is None else 0.6 * ema + 0.4 * loss
+            ema_psnr = (
+                psnr if ema_psnr is None else 0.9 * ema_psnr + 0.1 * psnr
+            )
         # epoch boundary: densify / prune / reset / SH warmup (train.py:153-173)
         n_active = int(state.scene.num_active)
         if epoch % 3 == 0 and epoch > 0 and epoch < 0.75 * opt_p.epochs:
@@ -97,11 +104,29 @@ def training(model_p, opt_p, pipe_p, save_epochs=(), quantization=True):
             state = state._replace(scene=state.scene.oneup_sh_degree())
         print(
             f"[epoch {epoch}] it={it} ema_loss={ema:.4f} "
+            f"ema_psnr={ema_psnr:.2f} "
             f"active={int(state.scene.num_active)} ({time.time() - t0:.0f}s)"
         )
+        import json as _json
+
+        log_f.write(
+            _json.dumps(
+                {
+                    "epoch": epoch,
+                    "it": it,
+                    "ema_loss": round(ema, 5),
+                    "ema_psnr": round(ema_psnr, 3),
+                    "active": int(state.scene.num_active),
+                    "seconds": round(time.time() - t0, 1),
+                }
+            )
+            + "\n"
+        )
+        log_f.flush()
         if epoch in save_epochs or epoch == opt_p.epochs - 1:
             scene.gaussians = state.scene
             scene.save(it)
+    log_f.close()
     return state
 
 
