@@ -64,6 +64,44 @@ def test_npz2ply_cli(tmp_path):
     assert os.path.getsize(out) > 0
 
 
+def test_train_intraining_compression_cli(dataset, tmp_path, capsys):
+    """--compress_every N: the reference's in-training VQ pass
+    (train.py:50-56,111-146, disabled by default there too). Wiring-level:
+    the pass runs at the right epochs and training continues to completion
+    on the re-unified scene."""
+    import train as train_cli
+
+    model = str(tmp_path / "itc_model")
+    train_cli.main(
+        [
+            "-s",
+            dataset,
+            "-m",
+            model,
+            "--epochs",
+            "4",
+            "--compress_every",
+            "2",
+            "--color_codebook_size",
+            "16",
+            "--gaussian_codebook_size",
+            "16",
+            "--color_cluster_iterations",
+            "2",
+            "--gaussian_cluster_iterations",
+            "2",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "[compress@2]" in out
+    assert os.path.isdir(os.path.join(model, "point_cloud"))
+    log = [
+        json.loads(l)
+        for l in open(os.path.join(model, "train_log.jsonl"))
+    ]
+    assert len(log) == 4 and all(np.isfinite(e["ema_loss"]) for e in log)
+
+
 def test_train_no_splatting_cli(dataset, tmp_path):
     import train_no_splatting as tns
 

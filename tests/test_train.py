@@ -141,3 +141,24 @@ def test_capacity_growth_preserves_adam_moments():
     # training continues finitely at the new capacity
     state, metrics = trainer.train_step(state, EV, target, SET, BG, opt, 1.0)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_epoch_schedule_matches_reference_recast():
+    """train.py:30-43 of the reference converts iteration knobs to epochs
+    with calc_epoch(i) = max(1, i * epoch_count // iterations). Check the
+    standard config (30k iterations; e.g. 300-camera scene -> 100 epochs)
+    and the max(1, .) floor on tiny runs."""
+    import train as train_cli
+    from c3dgs_tpu.config import OptimizationParams
+
+    opt = OptimizationParams(epochs=100)
+    s = train_cli.epoch_schedule(opt)
+    assert s == {
+        "densify_until_epoch": 50,  # 15000/30000 of the run
+        "densify_from_epoch": 1,  # 500 iters, floored
+        "densification_interval": 1,  # 100 iters, floored
+        "opacity_reset_interval": 10,  # 3000/30000
+        "degree_up": 3,  # 1000/30000
+    }
+    tiny = train_cli.epoch_schedule(OptimizationParams(epochs=2))
+    assert all(v >= 1 for v in tiny.values())

@@ -11,7 +11,31 @@ import os
 import time
 
 
-def training(model_p, opt_p, pipe_p, save_epochs=(), quantization=True):
+def epoch_schedule(opt_p):
+    """The reference's iteration->epoch knob recast (train.py:30-43):
+    epoch_count = iterations // len(scene); calc_epoch(i) =
+    max(1, i * epoch_count // iterations). We are epoch-driven (--epochs
+    supplies epoch_count), iterations keeps its role as the reference
+    budget the knobs are expressed in."""
+    calc_epoch = lambda i: max(1, i * opt_p.epochs // opt_p.iterations)
+    return {
+        "densify_until_epoch": calc_epoch(opt_p.densify_until_iter),
+        "densify_from_epoch": calc_epoch(opt_p.densify_from_iter),
+        "densification_interval": calc_epoch(opt_p.densification_interval),
+        "opacity_reset_interval": calc_epoch(opt_p.opacity_reset_interval),
+        "degree_up": calc_epoch(1000),
+    }
+
+
+def training(
+    model_p,
+    opt_p,
+    pipe_p,
+    save_epochs=(),
+    quantization=True,
+    comp_p=None,
+    compress_every=0,
+):
     import jax
     import jax.numpy as jnp
 
@@ -43,6 +67,12 @@ def training(model_p, opt_p, pipe_p, save_epochs=(), quantization=True):
     capacity = CapacityPolicy(initial=1 << 20)
 
     cams = scene.get_train_cameras()
+    sched = epoch_schedule(opt_p)
+    densify_until_epoch = sched["densify_until_epoch"]
+    densify_from_epoch = sched["densify_from_epoch"]
+    densification_interval = sched["densification_interval"]
+    opacity_reset_interval = sched["opacity_reset_interval"]
+    degree_up = sched["degree_up"]
     ema = None
     ema_psnr = None
     t0 = time.time()
@@ -83,24 +113,70 @@ def training(model_p, opt_p, pipe_p, save_epochs=(), quantization=True):
             ema_psnr = (
                 psnr if ema_psnr is None else 0.9 * ema_psnr + 0.1 * psnr
             )
-        # epoch boundary: densify / prune / reset / SH warmup (train.py:153-173)
+        # epoch boundary: densify / prune / reset / SH warmup, on the
+        # reference's exact cadence (train.py:161-173)
         n_active = int(state.scene.num_active)
-        if epoch % 3 == 0 and epoch > 0 and epoch < 0.75 * opt_p.epochs:
-            free = state.scene.capacity - n_active
-            if free < max(1024, n_active // 4):
-                # grow WITHOUT nuking Adam moments of existing splats
-                # (gaussian_model.py:1161-1185 preserves them; so do we)
-                state = trainer.grow_capacity(
-                    state, state.scene.capacity * 2
+        if epoch < densify_until_epoch:
+            if (
+                epoch > densify_from_epoch
+                and epoch % densification_interval == 0
+            ):
+                free = state.scene.capacity - n_active
+                if free < max(1024, n_active // 4):
+                    # grow WITHOUT nuking Adam moments of existing splats
+                    # (gaussian_model.py:1161-1185 preserves them; so do we)
+                    state = trainer.grow_capacity(
+                        state, state.scene.capacity * 2
+                    )
+                # screen-size pruning arms after the first opacity reset
+                # (train.py:164)
+                size_thr = 20.0 if epoch > opacity_reset_interval else None
+                state, dropped = trainer.densify_step(
+                    state,
+                    scene.cameras_extent,
+                    opt_p,
+                    max_screen_size=size_thr,
                 )
-            state, dropped = trainer.densify_step(
-                state, scene.cameras_extent, opt_p
+                if int(dropped) > 0:
+                    print(
+                        f"[densify] dropped {int(dropped)} writes (capacity)"
+                    )
+            if epoch > 0 and epoch % opacity_reset_interval == 0:
+                state = trainer.reset_opacity_step(state)
+        if (
+            compress_every > 0
+            and comp_p is not None
+            and epoch > 0
+            and epoch % compress_every == 0
+        ):
+            # In-training compression (reference train.py:50-56,111-146 —
+            # its every-N-epoch VQ pass, disabled by default there too):
+            # sensitivity over this epoch's cameras -> VQ cluster -> keep
+            # training on the re-unified (de-indexed) scene, matching the
+            # reference's stated intent ("always uncompress back - so only
+            # unification is actually performed", train.py:148-150). No
+            # importance pruning mid-training (reference passes -1).
+            from c3dgs_tpu.compress.pipeline import to_compressed
+
+            cp = type(comp_p)(**{**comp_p.to_dict(), "prune_threshold": -1.0})
+            cap_before = state.scene.capacity
+            sc = to_compressed(state.scene, epoch_cams, cp, silent=True)
+            sc = sc.to_unindexed().pad_to_capacity(cap_before)
+            # rebuild row-shaped optimizer state for the re-unified rows,
+            # but keep the LR-schedule step continuous
+            fresh = trainer.create_train_state(sc, opt_p, spatial_lr_scale)
+            adam0, _ = fresh.opt_state
+            state = fresh._replace(
+                opt_state=(adam0, state.opt_state[1]),
+                step=state.step,
+                key=state.key,
             )
-            if int(dropped) > 0:
-                print(f"[densify] dropped {int(dropped)} writes (capacity)")
-        if epoch % 9 == 0 and epoch > 0 and epoch < 0.75 * opt_p.epochs:
-            state = trainer.reset_opacity_step(state)
-        if epoch % 5 == 0:
+            print(
+                f"[compress@{epoch}] in-training VQ: "
+                f"active={int(sc.num_active)}"
+            )
+        if epoch % degree_up == 0:
+            # "Every 1000 its we increase the levels of SH" (train.py:172)
             state = state._replace(scene=state.scene.oneup_sh_degree())
         print(
             f"[epoch {epoch}] it={it} ema_loss={ema:.4f} "
@@ -132,6 +208,7 @@ def training(model_p, opt_p, pipe_p, save_epochs=(), quantization=True):
 
 def main(argv=None):
     from c3dgs_tpu.config import (
+        CompressionParams,
         ModelParams,
         OptimizationParams,
         PipelineParams,
@@ -142,13 +219,22 @@ def main(argv=None):
     ModelParams.add_to_parser(parser, "model")
     OptimizationParams.add_to_parser(parser, "optimization")
     PipelineParams.add_to_parser(parser, "pipeline")
+    CompressionParams.add_to_parser(parser, "compression")
     parser.add_argument("--save_epochs", nargs="+", type=int, default=[])
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--compress_every",
+        type=int,
+        default=0,
+        help="run in-training VQ compression every N epochs (0 = off, "
+        "matching the reference's disabled default; train.py:50)",
+    )
     args = parser.parse_args(argv)
 
     model_p = ModelParams.extract(args).post_extract()
     opt_p = OptimizationParams.extract(args)
     pipe_p = PipelineParams.extract(args)
+    comp_p = CompressionParams.extract(args)
     if not model_p.model_path:
         model_p = type(model_p)(**{**model_p.to_dict(), "model_path": "./output/run"})
     os.makedirs(model_p.model_path, exist_ok=True)
@@ -162,6 +248,8 @@ def main(argv=None):
         pipe_p,
         save_epochs=set(args.save_epochs),
         quantization=not opt_p.not_quantization_aware,
+        comp_p=comp_p,
+        compress_every=args.compress_every,
     )
 
 
