@@ -48,14 +48,20 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _local_blend_tiles(prep, settings: RasterSettings, n_tiles_axis: int):
-    """Per-device piece: bin (replicated — the global sort is the one stage
-    not yet sharded; see SCALING.md), then stage + blend + (in the VJP)
-    reduce ONLY this device's chunk slice of the sorted instance array.
-    All row-level O(cap) work — the stage gather, both Pallas kernels, and
-    the gradient reduction — runs at ~cap/D per device; per-gaussian grad
-    partials are psum'd by the caller. Returns the local
+    """Per-device piece: bin (enumeration/cull/key-build sharded over
+    "tiles", sorts replicated after an all_gather of the packed key/payload
+    arrays — see SCALING.md), then stage + blend + (in the VJP) reduce ONLY
+    this device's chunk slice of the sorted instance array. All row-level
+    O(cap) work — the enumeration, the stage gather, both Pallas kernels,
+    and the gradient reduction — runs at ~cap/D per device; per-gaussian
+    grad partials are psum'd by the caller. Returns the local
     (t_local, OUT_ROWS, PIX) block."""
-    binning = bin_gaussians(jax.lax.stop_gradient(prep), settings)
+    binning = bin_gaussians(
+        jax.lax.stop_gradient(prep),
+        settings,
+        shard_axis="tiles",
+        shard_num=n_tiles_axis,
+    )
     table = per_gaussian_table(prep, binning.offset)
     n = prep.mean2d.shape[0]
     cap, _ = settings.resolve_caps(n)
@@ -120,8 +126,12 @@ def _local_blend_tiles(prep, settings: RasterSettings, n_tiles_axis: int):
 
 
 def _gathered_image(out_l, settings: RasterSettings, bg):
-    """all_gather local tile blocks over "tiles" -> full image."""
-    out_full = jax.lax.all_gather(out_l, "tiles", axis=0, tiled=True)
+    """all_gather local tile blocks over "tiles" -> full image.
+
+    Only rows 0..3 (color + final_T) cross devices — rows 4+ are the
+    backward's lt_final/stop residuals, consumed inside the local VJP and
+    never needed remotely; slicing before the gather halves its bytes."""
+    out_full = jax.lax.all_gather(out_l[:, :4], "tiles", axis=0, tiled=True)
     out_full = out_full[: settings.num_tiles]
     color, final_t = assemble_image(out_full, settings)
     return color + final_t[None] * bg[:, None, None]

@@ -227,8 +227,20 @@ class Binning(NamedTuple):
     # backward reduction's f32 key sort (rasterizer._reduce_instance_grads)
 
 
-def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> Binning:
-    """Build the per-tile depth-sorted instance bookkeeping."""
+def bin_gaussians(
+    prep: Preprocessed,
+    settings: RasterSettings,
+    shard_axis: str | None = None,
+    shard_num: int = 1,
+) -> Binning:
+    """Build the per-tile depth-sorted instance bookkeeping.
+
+    With `shard_axis` (inside a shard_map), the O(cap) enumeration —
+    rank pass, per-instance row gather, ellipse-tile cull, key/payload
+    build — runs on a 1/shard_num slice of the emission slots per device;
+    the packed (key, payload) arrays are then all_gather'd (8 B/slot over
+    ICI) and the sorts run replicated (SCALING.md roadmap step 1). The
+    result is identical on every device."""
     n = prep.depth.shape[0]
     cap, max_tiles = settings.resolve_caps(n)
     grad_cap = settings.resolve_grad_cap(n)
@@ -255,7 +267,14 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> Binning:
     # ---- instance enumeration (gather formulation; the reference scatters
     # via duplicateWithKeys, rasterizer_impl.cu:70-111): every instance slot
     # finds its source gaussian by rank over the emission prefix sums.
-    slots = jnp.arange(cap, dtype=jnp.int32)
+    if shard_axis is not None and (shard_num < 2 or cap % shard_num):
+        shard_axis = None  # uneven slice: fall back to replicated
+    if shard_axis is None:
+        slots = jnp.arange(cap, dtype=jnp.int32)
+    else:
+        cap_l = cap // shard_num
+        d = jax.lax.axis_index(shard_axis)
+        slots = d * cap_l + jnp.arange(cap_l, dtype=jnp.int32)
     gid_k = _rank_in_sorted(cum, slots)
     gid_safe = jnp.minimum(gid_k, n - 1)
     valid = slots < total
@@ -310,9 +329,19 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings) -> Binning:
     # invalid/culled rows carry gid = n + T (their keys sort past
     # everything, and the >= n high bits flag them as non-real alongside
     # sentinels).
-    key_all = jnp.concatenate([key, sent_key])
     pj = (gid_safe << j_bits) | j
     pj = jnp.where(keep, pj, (n + num_tiles) << j_bits)
+    if shard_axis is not None:
+        # rejoin the slot domain: 8 B/slot over ICI (~4 MB at cap 500k),
+        # against the ~4.5 ms of per-slot gather/cull work just sharded
+        key = jax.lax.all_gather(key, shard_axis, axis=0, tiled=True)
+        pj = jax.lax.all_gather(pj, shard_axis, axis=0, tiled=True)
+        # recover global per-slot flags from the gathered payload (culled/
+        # invalid rows carry gid = n + T in the high bits)
+        slots = jnp.arange(cap, dtype=jnp.int32)
+        valid = slots < total
+        keep = pj < (n << j_bits)
+    key_all = jnp.concatenate([key, sent_key])
     pj_all = jnp.concatenate([pj, (n + t_ids) << j_bits])
 
     # lexicographic (key, pj) with pj unique and ascending in emission

@@ -117,6 +117,10 @@ def main():
             "--eval",
             "--epochs",
             str(epochs),
+            # hedge: a mid-run checkpoint so an interrupted run still
+            # leaves a trained point cloud for the compression stage
+            "--save_epochs",
+            str(2 * epochs // 3),
         ]
     )
     sh(
