@@ -45,6 +45,20 @@ def main():
     scene = scene.replace(
         scaling_factor=scene.scaling_factor + math.log(0.15)
     )
+    # opacity statistics of a TRAINED scene, not the 0.1 init: training
+    # with opacity resets + pruning leaves a bimodal distribution (a large
+    # near-opaque mass carrying the surfaces, a broad translucent tail) —
+    # that is the workload the CUDA training-step envelope is quoted on,
+    # and occlusion saturation (the T<1e-4 early stop, forward.cu:371)
+    # is a first-order term of the frame time. C3DGS_BENCH_OPACITY=init
+    # restores the uniform-0.1 init-statistics scene (the round-1 bench).
+    if os.environ.get("C3DGS_BENCH_OPACITY", "trained") == "trained":
+        op = np.clip(rng.beta(0.5, 0.35, size=(n, 1)), 0.005, 0.995)
+        scene = scene.replace(
+            opacity=jnp.asarray(
+                np.log(op / (1.0 - op)).astype(np.float32)
+            )
+        )
 
     settings = RasterSettings(
         width=width,
