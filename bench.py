@@ -144,6 +144,9 @@ def main():
     ms = best
 
     baseline_ms = 28.0
+    # self-describing result: the opacity-statistics mode changes the
+    # workload (ADVICE r2) — record it so BENCH_r* files are comparable
+    opacity_mode = os.environ.get("C3DGS_BENCH_OPACITY", "trained")
     print(
         json.dumps(
             {
@@ -151,6 +154,7 @@ def main():
                 "value": round(ms, 3),
                 "unit": "ms",
                 "vs_baseline": round(baseline_ms / ms, 3),
+                "opacity_mode": opacity_mode,
             }
         )
     )

@@ -268,7 +268,18 @@ def bin_gaussians(
     # via duplicateWithKeys, rasterizer_impl.cu:70-111): every instance slot
     # finds its source gaussian by rank over the emission prefix sums.
     if shard_axis is not None and (shard_num < 2 or cap % shard_num):
-        shard_axis = None  # uneven slice: fall back to replicated
+        # uneven slice: fall back to replicated enumeration. Loud (trace
+        # time, so once per compile): callers lose the ~1/D enumeration
+        # saving and should round the capacity to a multiple of the axis.
+        import warnings
+
+        if shard_num >= 2:
+            warnings.warn(
+                f"bin_gaussians: cap {cap} not divisible by shard_num "
+                f"{shard_num}; enumeration runs fully replicated per device",
+                stacklevel=2,
+            )
+        shard_axis = None
     if shard_axis is None:
         slots = jnp.arange(cap, dtype=jnp.int32)
     else:

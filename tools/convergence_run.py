@@ -120,7 +120,7 @@ def main():
             # hedge: a mid-run checkpoint so an interrupted run still
             # leaves a trained point cloud for the compression stage
             "--save_epochs",
-            str(2 * epochs // 3),
+            str(max(1, 2 * epochs // 3)),
         ]
     )
     sh(

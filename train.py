@@ -227,7 +227,11 @@ def main(argv=None):
         type=int,
         default=0,
         help="run in-training VQ compression every N epochs (0 = off, "
-        "matching the reference's disabled default; train.py:50)",
+        "matching the reference's disabled default; train.py:50). Each "
+        "pass rewrites most rows (VQ + compaction) and deliberately "
+        "resets Adam moments and densify stats for the re-unified scene "
+        "— the reference's replace_tensor_to_optimizer zeroes moments "
+        "for every rewritten tensor too (gaussian_model.py:1061-1079)",
     )
     args = parser.parse_args(argv)
 
