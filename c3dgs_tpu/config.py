@@ -19,6 +19,22 @@ import sys
 from typing import get_type_hints
 
 
+def setup_jax_cache(path: str = "/root/.jax_cache") -> None:
+    """Enable the persistent XLA compile cache for every CLI entry point.
+
+    Long-running runs (train -> compress -> render) share dozens of
+    multi-second compiles; on the tunneled backend a remote-compile HTTP
+    hiccup kills the process, and without this cache a retry repays the
+    full compile bill. Call before the first jit."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knobs: cache is an optimization only
+
+
 @dataclasses.dataclass(frozen=True)
 class ParamGroup:
     """Shared argparse bridge. Fields named with a leading underscore in the

@@ -37,9 +37,11 @@ from ..train import trainer
 
 # static per-device slot-capacity headroom over the even cap/D split:
 # tile loads skew, so a device's owned chunk range can exceed cap/D.
-# Overshoot is truncated (trailing owned tiles dropped) and would surface
-# as image corruption on that slice — raise via settings.instance_capacity
-# if a scene's tile skew exceeds 2x.
+# Overshoot is truncated (trailing owned tiles dropped) — COUNTED in the
+# `shard_truncated_chunks` diagnostic every sharded entry point returns
+# (psum'd over the mesh), so corruption on a slice is impossible without
+# a nonzero counter. Raise settings.instance_capacity (or the factor) if
+# a scene's tile skew exceeds 2x.
 LOCAL_CAP_FACTOR = 2
 
 
@@ -88,6 +90,11 @@ def _local_blend_tiles(prep, settings: RasterSettings, n_tiles_axis: int):
         has, binning.ends[jnp.maximum(t1 - 1, 0)] // CHUNK + 1, 0
     )
     nc_exec = jnp.clip(c_hi - c_lo, 0, nc_local)
+    # chunks of owned tiles beyond the local capacity window: these tiles
+    # simply never execute (their out blocks stay at the kernel's init
+    # state). Returned as a diagnostic so callers can alarm instead of
+    # shipping silently-corrupt slices.
+    truncated_chunks = jnp.maximum(c_hi - c_lo - nc_local, 0)
 
     slot0 = c_lo * CHUNK
 
@@ -122,7 +129,7 @@ def _local_blend_tiles(prep, settings: RasterSettings, n_tiles_axis: int):
         table,
         (gid_l, tid_l, sent_l, j_l, tile_lo_l, meta, None, binning.emit_cum),
     )
-    return out_l, binning
+    return out_l, binning, truncated_chunks
 
 
 def _gathered_image(out_l, settings: RasterSettings, bg):
@@ -143,9 +150,13 @@ def render_tile_sharded(
     settings: RasterSettings,
     bg: jax.Array,
     mesh: Mesh,
+    return_diag: bool = False,
 ) -> jax.Array:
     """Inference render with the tile grid sharded over mesh axis "tiles"
-    (replicated over "dp"). Returns the full image (replicated)."""
+    (replicated over "dp"). Returns the full image (replicated); with
+    `return_diag`, also a dict with the psum'd `shard_truncated_chunks`
+    counter (nonzero => some device's owned tile range exceeded its
+    LOCAL_CAP_FACTOR window and trailing tiles were dropped)."""
     n_tiles_axis = mesh.shape["tiles"]
     settings = trainer.settings_with_degree(settings, scene.active_sh_degree)
 
@@ -153,20 +164,24 @@ def render_tile_sharded(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(), P()),
-        out_specs=P(),
+        out_specs=(P(), P()),
         check_vma=False,
     )
     def run(means3d, cov3d, opacity_shs_ev):
         opacity, shs, ev = opacity_shs_ev
         prep = preprocess(means3d, cov3d, opacity, ev, settings, shs=shs)
-        out_l, _ = _local_blend_tiles(prep, settings, n_tiles_axis)
-        return _gathered_image(out_l, settings, bg)
+        out_l, _, trunc = _local_blend_tiles(prep, settings, n_tiles_axis)
+        trunc = jax.lax.psum(trunc, ("dp", "tiles"))
+        return _gathered_image(out_l, settings, bg), trunc
 
-    return run(
+    img, trunc = run(
         scene.get_xyz(),
         scene.get_covariance(),
         (scene.get_opacity()[:, 0], scene.get_features(), extrinsic_vector),
     )
+    if return_diag:
+        return img, {"shard_truncated_chunks": trunc}
+    return img
 
 
 def make_hybrid_train_step(
@@ -188,7 +203,7 @@ def make_hybrid_train_step(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P("dp"), P("dp"), P()),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
         check_vma=False,
     )
     def loss_and_grads(scene0_params, evs_b, gts_b, bg):
@@ -207,11 +222,15 @@ def make_hybrid_train_step(
                 st,
                 shs=scene.get_features(),
             )
-            out_l, _ = _local_blend_tiles(prep, st, n_tiles_axis)
+            out_l, _, trunc = _local_blend_tiles(prep, st, n_tiles_axis)
             image = _gathered_image(out_l, st, bg)
-            return L.photometric_loss(image, gt, opt.lambda_dssim)
+            loss = L.photometric_loss(image, gt, opt.lambda_dssim)
+            return loss, jax.lax.stop_gradient(trunc)
 
-        loss, grads = jax.value_and_grad(local_loss)(params)
+        (loss, trunc), grads = jax.value_and_grad(local_loss, has_aux=True)(
+            params
+        )
+        trunc = jax.lax.psum(trunc, ("dp", "tiles"))
         # every device in a dp row computes the (identical) full-image loss,
         # and the transpose of the "tiles" all_gather is a reduce-scatter of
         # those identical cotangents — so each grad_d arrives scaled by
@@ -223,13 +242,13 @@ def make_hybrid_train_step(
             grads,
         )
         loss = jax.lax.psum(loss, "dp") / n_dp
-        return loss, grads
+        return loss, grads, trunc
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: trainer.TrainState, evs, gts, bg):
         scene0 = state.scene.update_observers()
         params = trainer.scene_params(scene0)
-        loss, grads = loss_and_grads((params, scene0), evs, gts, bg)
+        loss, grads, trunc = loss_and_grads((params, scene0), evs, gts, bg)
         tx = trainer.make_optimizer(opt, spatial_lr_scale)
         updates, opt_state = tx.update(grads, state.opt_state, params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
@@ -238,6 +257,6 @@ def make_hybrid_train_step(
             opt_state=opt_state,
             step=state.step + 1,
         )
-        return new_state, {"loss": loss}
+        return new_state, {"loss": loss, "shard_truncated_chunks": trunc}
 
     return step

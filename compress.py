@@ -120,7 +120,10 @@ def main(argv=None):
         OptimizationParams,
         PipelineParams,
         load_combined_args,
+        setup_jax_cache,
     )
+
+    setup_jax_cache()
 
     parser = argparse.ArgumentParser(description="c3dgs_tpu compression")
     ModelParams.add_to_parser(parser, "model", fill_none=True)

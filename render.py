@@ -43,7 +43,13 @@ def render_sets(model_p, iteration, skip_train, skip_test):
 
 
 def main(argv=None):
-    from c3dgs_tpu.config import ModelParams, load_combined_args
+    from c3dgs_tpu.config import (
+        ModelParams,
+        load_combined_args,
+        setup_jax_cache,
+    )
+
+    setup_jax_cache()
 
     parser = argparse.ArgumentParser(description="c3dgs_tpu render")
     ModelParams.add_to_parser(parser, "model", fill_none=True)

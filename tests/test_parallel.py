@@ -31,9 +31,44 @@ def toy_scene(n=80, cap=96, seed=0):
 def test_tile_sharded_render_matches_single():
     scene = toy_scene()
     mesh = make_mesh(dp=1, tiles=8)
-    img_sharded = np.asarray(render_tile_sharded(scene, EV, SET, BG, mesh))
+    img_sharded, diag = render_tile_sharded(
+        scene, EV, SET, BG, mesh, return_diag=True
+    )
+    img_sharded = np.asarray(img_sharded)
     img_single = np.asarray(trainer.render_scene(scene, EV, SET, BG)["render"])
     np.testing.assert_allclose(img_sharded, img_single, atol=1e-5)
+    # benign tile distribution: nothing may be truncated
+    assert int(diag["shard_truncated_chunks"]) == 0
+
+
+def test_tile_skew_trips_truncation_counter():
+    """Adversarial tile skew: every gaussian lands in ONE tile, with an
+    instance capacity tight enough that the owning device's chunk range
+    exceeds its LOCAL_CAP_FACTOR*cap/D window. The truncation counter must
+    be nonzero — silent corruption is not an accepted failure mode."""
+    import dataclasses
+
+    n, cap = 600, 640
+    rng = np.random.default_rng(3)
+    pts = (rng.normal(size=(n, 3)) * 0.02).astype(np.float32)
+    # tight cluster projecting into the middle of tile (0,0) — NOT the
+    # image center, which is the corner where all four tiles meet
+    pts[:, 0] -= 0.82
+    pts[:, 1] -= 0.82
+    pts[:, 2] += 3.0
+    cols = rng.random(size=(n, 3)).astype(np.float32)
+    scene = gmod.from_point_cloud(pts, cols, capacity=n, quantization=False)
+    settings = dataclasses.replace(SET, instance_capacity=cap)
+    mesh = make_mesh(dp=2, tiles=4)
+    # sanity: the scene fits the global capacity (no global overflow) —
+    # the truncation is purely a per-device skew phenomenon
+    out = trainer.render_scene(scene, EV, settings, BG)
+    assert int(out["overflow"]) == 0
+    assert int(out["num_instances"]) > 2 * cap // 4  # exceeds local window
+    _, diag = render_tile_sharded(
+        scene, EV, settings, BG, mesh, return_diag=True
+    )
+    assert int(diag["shard_truncated_chunks"]) > 0
 
 
 def test_hybrid_train_step_runs_and_matches():
@@ -51,6 +86,7 @@ def test_hybrid_train_step_runs_and_matches():
     step = make_hybrid_train_step(mesh, SET, opt, 1.0)
     new_state, metrics = step(state, evs, gts, BG)
     assert np.isfinite(float(metrics["loss"]))
+    assert int(metrics["shard_truncated_chunks"]) == 0
     # parameters actually moved
     assert np.abs(np.asarray(new_state.scene.xyz) - orig_xyz).max() > 0
 

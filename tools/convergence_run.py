@@ -67,9 +67,19 @@ def make_gt_scene(n=60_000, seed=7):
     return scene
 
 
-def sh(cmd):
-    print(f"+ {' '.join(cmd)}", flush=True)
-    subprocess.run(cmd, check=True, cwd="/root/repo")
+def sh(cmd, retries=2):
+    """Run a CLI, retrying on failure: the tunneled backend's remote-compile
+    HTTP path occasionally drops mid-read and kills the process. The CLIs
+    share the persistent compile cache, so a compile-phase retry is cheap."""
+    for attempt in range(retries + 1):
+        print(f"+ {' '.join(cmd)} (attempt {attempt + 1})", flush=True)
+        try:
+            subprocess.run(cmd, check=True, cwd="/root/repo")
+            return
+        except subprocess.CalledProcessError:
+            if attempt == retries:
+                raise
+            print("  retrying after failure...", flush=True)
 
 
 def main():

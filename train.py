@@ -213,7 +213,10 @@ def main(argv=None):
         OptimizationParams,
         PipelineParams,
         save_config,
+        setup_jax_cache,
     )
+
+    setup_jax_cache()
 
     parser = argparse.ArgumentParser(description="c3dgs_tpu training")
     ModelParams.add_to_parser(parser, "model")
