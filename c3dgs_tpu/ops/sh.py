@@ -98,6 +98,47 @@ def sh_to_rgb(
     return rgb
 
 
+def sh_to_rgb_indexed_blocked(
+    deg: int,
+    codebook: jax.Array,
+    indices: jax.Array,
+    dirs: jax.Array,
+    clamp_color: bool = True,
+    block: int = 1 << 18,
+) -> jax.Array:
+    """Per-splat RGB for a codebook-indexed scene WITHOUT materializing the
+    dense (P, K, 3) SH array.
+
+    The reference's indexed preprocess gathers SH from the codebook inside
+    the kernel (forward_indexed.cu:226); de-indexing through the model
+    accessor instead materializes ~960 MB of dense SH at 5M splats before
+    staging. Here a lax.map over fixed blocks gathers (block, K, 3) rows,
+    evaluates the band polynomials, and keeps only the (P, 3) colors — peak
+    intermediate = block*K*3 floats (~50 MB at the default block), total
+    HBM traffic unchanged (each codebook row read once per splat).
+
+    codebook: (C, K, 3); indices: (P,) int32; dirs: (P, 3) unit.
+    """
+    p = indices.shape[0]
+    if p <= block:
+        rows = jax.lax.optimization_barrier(codebook[indices])
+        return sh_to_rgb(deg, rows, dirs, clamp_color)
+    nb = -(-p // block)
+    pad = nb * block - p
+    idx = jnp.concatenate([indices, jnp.zeros((pad,), indices.dtype)])
+    dr = jnp.concatenate([dirs, jnp.zeros((pad, 3), dirs.dtype)])
+
+    def blk(args):
+        i, d = args
+        rows = jax.lax.optimization_barrier(codebook[i])  # (block, K, 3)
+        return sh_to_rgb(deg, rows, d, clamp_color)
+
+    out = jax.lax.map(
+        blk, (idx.reshape(nb, block), dr.reshape(nb, block, 3))
+    )
+    return out.reshape(nb * block, 3)[:p]
+
+
 def rgb_to_sh_dc(rgb: jax.Array) -> jax.Array:
     """RGB in [0,1] -> DC SH coefficient (utils/sh_utils.py:114)."""
     return (rgb - 0.5) / C0

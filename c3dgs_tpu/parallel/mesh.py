@@ -42,7 +42,14 @@ def make_mesh(
         # multi-host: the dp axis spans hosts so its grad psum rides DCN,
         # while the bandwidth-hungry tiles all_gather stays on ICI
         arr = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(dp // nproc, tiles), dcn_mesh_shape=(nproc, 1)
+            mesh_shape=(dp // nproc, tiles),
+            dcn_mesh_shape=(nproc, 1),
+            # granule = host process: the dp axis crosses PROCESS boundaries
+            # (DCN / cross-host transport), tiles stays process-local (ICI).
+            # slice_index-granules would be equivalent on one-process-per-
+            # slice deployments and do not exist on CPU at all (the
+            # 2-process exercise in tools/dcn_probe.py runs on CPU+gloo).
+            process_is_granule=True,
         )
     else:
         # single host: let jax pick the ICI-topology-friendly assignment

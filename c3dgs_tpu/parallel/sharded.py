@@ -6,10 +6,13 @@ each device composites a slice of the 16x16-tile grid (Gaussians
 replicated), and camera data-parallelism rides the second mesh axis:
 
   mesh ("dp", "tiles")
-  - preprocess/binning: per-dp-row camera, replicated within the row
-    (O(N) jnp work, cheap next to blending);
-  - tile_blend: each device runs the Pallas kernel on its contiguous slice
-    of CHUNK-aligned tile segments;
+  - preprocess: per-dp-row camera, replicated within the row (O(N) jnp
+    work, cheap next to blending);
+  - binning: ROUTED — per-slot enumeration, culling, and all sorts run at
+    ~cap/D per device; instances ride one all_to_all to their tile's
+    owning device (binning.bin_gaussians_routed);
+  - tile_blend: each device runs the Pallas kernels on its own sorted
+    array of CHUNK-aligned owned-tile segments;
   - image: all_gather over "tiles" (a few MB over ICI);
   - gradients: each device backprops its tile slice; psum over
     ("tiles","dp") reconstructs exact full gradients (XLA overlaps these
@@ -29,20 +32,15 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import OptimizationParams
 from ..models.gaussians import GaussianScene
 from ..ops import losses as L
-from ..render.binning import CHUNK, bin_gaussians, per_gaussian_table
+from ..render.binning import (
+    bin_gaussians_routed,
+    per_gaussian_table,
+    routed_local_cap,
+)
 from ..render.preprocess import preprocess
 from ..render.rasterizer import assemble_image, blend_gaussians_packed
 from ..render.types import RasterSettings
 from ..train import trainer
-
-# static per-device slot-capacity headroom over the even cap/D split:
-# tile loads skew, so a device's owned chunk range can exceed cap/D.
-# Overshoot is truncated (trailing owned tiles dropped) — COUNTED in the
-# `shard_truncated_chunks` diagnostic every sharded entry point returns
-# (psum'd over the mesh), so corruption on a slice is impossible without
-# a nonzero counter. Raise settings.instance_capacity (or the factor) if
-# a scene's tile skew exceeds 2x.
-LOCAL_CAP_FACTOR = 2
 
 
 def _round_up(x: int, m: int) -> int:
@@ -50,73 +48,24 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _local_blend_tiles(prep, settings: RasterSettings, n_tiles_axis: int):
-    """Per-device piece: bin (enumeration/cull/key-build sharded over
-    "tiles", sorts replicated after an all_gather of the packed key/payload
-    arrays — see SCALING.md), then stage + blend + (in the VJP) reduce ONLY
-    this device's chunk slice of the sorted instance array. All row-level
-    O(cap) work — the enumeration, the stage gather, both Pallas kernels,
-    and the gradient reduction — runs at ~cap/D per device; per-gaussian
-    grad partials are psum'd by the caller. Returns the local
-    (t_local, OUT_ROWS, PIX) block."""
-    binning = bin_gaussians(
-        jax.lax.stop_gradient(prep),
-        settings,
-        shard_axis="tiles",
-        shard_num=n_tiles_axis,
+    """Per-device piece: routed binning (enumeration, cull, AND sorts all
+    run at ~cap/D per device — instances are all_to_all'd to their tile's
+    owner, see binning.bin_gaussians_routed), then stage + blend + (in the
+    VJP) reduce ONLY this device's local sorted array; per-gaussian grad
+    partials are psum'd by the caller. Returns the local
+    (t_local, OUT_ROWS, PIX) block, the routed bookkeeping, and the local
+    route_dropped counter (instances dropped by a routing-budget overflow
+    — nonzero means a tile slice rendered without them; psum and alarm)."""
+    rb = bin_gaussians_routed(
+        jax.lax.stop_gradient(prep), settings, "tiles", n_tiles_axis
     )
-    table = per_gaussian_table(prep, binning.offset)
+    table = per_gaussian_table(prep, rb.offset)
     n = prep.mean2d.shape[0]
     cap, _ = settings.resolve_caps(n)
     t_total = settings.num_tiles
-    t_pad = _round_up(t_total, n_tiles_axis)
-    t_local = t_pad // n_tiles_axis
-    cap_local = min(
-        _round_up(LOCAL_CAP_FACTOR * cap // n_tiles_axis, CHUNK),
-        _round_up(cap, CHUNK),
-    )
-    nc_local = cap_local // CHUNK
-
-    d = jax.lax.axis_index("tiles")
-    t0 = jnp.minimum(d * t_local, t_total)
-    t1 = jnp.minimum(t0 + t_local, t_total)
-    has = t1 > t0
-    # owned chunk range: the chunks containing slots
-    # [starts[t0], ends[t1 - 1]] (every owned tile's full segment +
-    # sentinel lies inside — segments are contiguous and tile-ordered)
-    c_lo = jnp.where(
-        has, binning.starts[jnp.minimum(t0, t_total - 1)] // CHUNK, 0
-    )
-    c_hi = jnp.where(
-        has, binning.ends[jnp.maximum(t1 - 1, 0)] // CHUNK + 1, 0
-    )
-    nc_exec = jnp.clip(c_hi - c_lo, 0, nc_local)
-    # chunks of owned tiles beyond the local capacity window: these tiles
-    # simply never execute (their out blocks stay at the kernel's init
-    # state). Returned as a diagnostic so callers can alarm instead of
-    # shipping silently-corrupt slices.
-    truncated_chunks = jnp.maximum(c_hi - c_lo - nc_local, 0)
-
-    slot0 = c_lo * CHUNK
-
-    def slot_slice(a, fill):
-        ap = jnp.concatenate(
-            [a, jnp.full((cap_local,), fill, a.dtype)]
-        )
-        return jax.lax.dynamic_slice(ap, (slot0,), (cap_local,))
-
-    gid_l = slot_slice(binning.gid_sorted, jnp.int32(n - 1))
-    tid_l = slot_slice(binning.tid_sorted, jnp.int32(t_total))
-    sent_l = slot_slice(binning.sent_sorted, True)
-    j_l = slot_slice(binning.j_sorted, jnp.int32(0))
-    tl_pad = jnp.concatenate(
-        [
-            binning.tile_lo,
-            jnp.full((nc_local + 1,), t_total, jnp.int32),
-        ]
-    )
-    tile_lo_l = jax.lax.dynamic_slice(tl_pad, (c_lo,), (nc_local + 1,))
+    _, t_local, cap_local = routed_local_cap(cap, n_tiles_axis, t_total)
     meta = jnp.stack(
-        [nc_exec, t0, t1, jnp.int32(cap)]
+        [rb.chunks_exec, rb.t0, rb.t1, jnp.int32(cap)]
     ).astype(jnp.int32)
 
     out_l = blend_gaussians_packed(
@@ -127,9 +76,18 @@ def _local_blend_tiles(prep, settings: RasterSettings, n_tiles_axis: int):
         cap,
         settings.fast_grad,
         table,
-        (gid_l, tid_l, sent_l, j_l, tile_lo_l, meta, None, binning.emit_cum),
+        (
+            rb.gid_sorted,
+            rb.tid_sorted,
+            rb.sent_sorted,
+            rb.j_sorted,
+            rb.tile_lo,
+            meta,
+            None,
+            rb.emit_cum,
+        ),
     )
-    return out_l, binning, truncated_chunks
+    return out_l, rb, rb.route_dropped
 
 
 def _gathered_image(out_l, settings: RasterSettings, bg):
@@ -154,9 +112,10 @@ def render_tile_sharded(
 ) -> jax.Array:
     """Inference render with the tile grid sharded over mesh axis "tiles"
     (replicated over "dp"). Returns the full image (replicated); with
-    `return_diag`, also a dict with the psum'd `shard_truncated_chunks`
-    counter (nonzero => some device's owned tile range exceeded its
-    LOCAL_CAP_FACTOR window and trailing tiles were dropped)."""
+    `return_diag`, also a dict with the psum'd `shard_route_dropped`
+    counter (nonzero => instances were dropped by a routing-budget
+    overflow under extreme tile skew and their tiles rendered without
+    them — raise settings.instance_capacity)."""
     n_tiles_axis = mesh.shape["tiles"]
     settings = trainer.settings_with_degree(settings, scene.active_sh_degree)
 
@@ -180,7 +139,7 @@ def render_tile_sharded(
         (scene.get_opacity()[:, 0], scene.get_features(), extrinsic_vector),
     )
     if return_diag:
-        return img, {"shard_truncated_chunks": trunc}
+        return img, {"shard_route_dropped": trunc}
     return img
 
 
@@ -257,6 +216,6 @@ def make_hybrid_train_step(
             opt_state=opt_state,
             step=state.step + 1,
         )
-        return new_state, {"loss": loss, "shard_truncated_chunks": trunc}
+        return new_state, {"loss": loss, "shard_route_dropped": trunc}
 
     return step

@@ -227,78 +227,34 @@ class Binning(NamedTuple):
     # backward reduction's f32 key sort (rasterizer._reduce_instance_grads)
 
 
-def bin_gaussians(
-    prep: Preprocessed,
-    settings: RasterSettings,
-    shard_axis: str | None = None,
-    shard_num: int = 1,
-) -> Binning:
-    """Build the per-tile depth-sorted instance bookkeeping.
-
-    With `shard_axis` (inside a shard_map), the O(cap) enumeration —
-    rank pass, per-instance row gather, ellipse-tile cull, key/payload
-    build — runs on a 1/shard_num slice of the emission slots per device;
-    the packed (key, payload) arrays are then all_gather'd (8 B/slot over
-    ICI) and the sorts run replicated (SCALING.md roadmap step 1). The
-    result is identical on every device."""
-    n = prep.depth.shape[0]
-    cap, max_tiles = settings.resolve_caps(n)
-    grad_cap = settings.resolve_grad_cap(n)
-    num_tiles = settings.num_tiles
-    tiles_x = settings.tiles_x
-
-    # the sort payload packs (gid, within-gaussian tile index j) into one
-    # int32: gid (incl. n..n+T-1 sentinel ids) in the high bits, j below.
-    # j_bits caps tiles-per-gaussian (counted in `clipped` when it binds;
-    # >= 12 bits whenever n + T <= 2^19, and trained splats touch ~4-6).
+def _payload_bits(n: int, num_tiles: int):
+    """The sort payload packs (gid, within-gaussian tile index j) into one
+    int32: gid (incl. n..n+T-1 sentinel ids) in the high bits, j below.
+    j_bits caps tiles-per-gaussian (counted in `clipped` when it binds;
+    >= 12 bits whenever n + T <= 2^19, and trained splats touch ~4-6)."""
     gid_bits = int(n + num_tiles).bit_length()
-    j_bits = 31 - gid_bits
-    max_tiles = min(max_tiles, 1 << j_bits)
+    return 31 - gid_bits
 
+
+def _emission_prefix(prep: Preprocessed, max_tiles: int):
+    """Per-gaussian emission counts and inclusive prefix (replicated O(N))."""
     tiles_touched = prep.tiles_touched
     emit = jnp.minimum(tiles_touched, max_tiles)
     clipped = jnp.sum(tiles_touched - emit)
     cum = _ob(jnp.cumsum(emit))  # inclusive
-    total = cum[-1]
-    # T sentinel rows must fit inside the cap window for the tile ranges to
-    # be recoverable; anything past that is dropped and counted
-    overflow = jnp.maximum(total - (cap - num_tiles), 0)
+    return emit, cum, clipped
 
-    # ---- instance enumeration (gather formulation; the reference scatters
-    # via duplicateWithKeys, rasterizer_impl.cu:70-111): every instance slot
-    # finds its source gaussian by rank over the emission prefix sums.
-    if shard_axis is not None and (shard_num < 2 or cap % shard_num):
-        # uneven slice: fall back to replicated enumeration. Loud (trace
-        # time, so once per compile): callers lose the ~1/D enumeration
-        # saving and should round the capacity to a multiple of the axis.
-        import warnings
 
-        if shard_num >= 2:
-            warnings.warn(
-                f"bin_gaussians: cap {cap} not divisible by shard_num "
-                f"{shard_num}; enumeration runs fully replicated per device",
-                stacklevel=2,
-            )
-        shard_axis = None
-    if shard_axis is None:
-        slots = jnp.arange(cap, dtype=jnp.int32)
-    else:
-        cap_l = cap // shard_num
-        d = jax.lax.axis_index(shard_axis)
-        slots = d * cap_l + jnp.arange(cap_l, dtype=jnp.int32)
-    gid_k = _rank_in_sorted(cum, slots)
-    gid_safe = jnp.minimum(gid_k, n - 1)
-    valid = slots < total
-
-    # per-gaussian int32 table packed so the per-instance lookup is ONE row
-    # gather (row gathers cost the same regardless of width): [offset,
-    # rect_min_x, rect_min_y, rect_w, depth_q, then bitcast f32 fields for
-    # the ellipse-tile cull: x, y, conic a/b/c, opacity]
+def _instance_table(prep: Preprocessed, cum, emit, num_tiles: int):
+    """Per-gaussian int32 table packed so the per-instance lookup is ONE row
+    gather (row gathers cost the same regardless of width): [offset,
+    rect_min_x, rect_min_y, rect_w, depth_q, then bitcast f32 fields for
+    the ellipse-tile cull: x, y, conic a/b/c, opacity]."""
     depth_q = quantize_depth(prep.depth, prep.radius > 0, num_tiles)
     fbits = lambda v: jax.lax.bitcast_convert_type(
         v.astype(jnp.float32), jnp.int32
     )
-    g_table = jnp.stack(
+    return jnp.stack(
         [
             (cum - emit).astype(jnp.int32),
             prep.rect_min[:, 0],
@@ -314,7 +270,23 @@ def bin_gaussians(
         ],
         axis=1,
     )
-    rows = _row_gather_sorted(g_table, gid_safe)  # (cap, 11), gid ascending
+
+
+def _enumerate_slots(
+    g_table, cum, total, slots, n: int, settings: RasterSettings
+):
+    """Instance enumeration over `slots` (gather formulation; the reference
+    scatters via duplicateWithKeys, rasterizer_impl.cu:70-111): every
+    instance slot finds its source gaussian by rank over the emission
+    prefix sums, gathers its per-gaussian row, derives its tile, and runs
+    the ellipse-tile cull. Returns (key, pj) packed sort rows."""
+    num_tiles = settings.num_tiles
+    tiles_x = settings.tiles_x
+    j_bits = _payload_bits(n, num_tiles)
+    gid_k = _rank_in_sorted(cum, slots)
+    gid_safe = jnp.minimum(gid_k, n - 1)
+    valid = slots < total
+    rows = _row_gather_sorted(g_table, gid_safe)  # (len, 11), gid ascending
     j = slots - rows[:, 0]
     rw = rows[:, 3]
     ty = rows[:, 2] + j // rw
@@ -325,33 +297,52 @@ def bin_gaussians(
 
     # ---- packed single int32 sort key: tile bits | quantized depth bits.
     # Stability keeps equal-key instances in gaussian order, exactly like
-    # CUB radix sort pairs (rasterizer_impl.cu:298-306). One sentinel row
-    # per tile carries (tile, max-depth) and is appended AFTER all real
-    # rows, so the stable sort parks it at the end of its tile's segment.
+    # CUB radix sort pairs (rasterizer_impl.cu:298-306).
     db = DEPTH_BITS(num_tiles)
-    levels = jnp.uint32((1 << db) - 1)
     key = (
         (tile_k.astype(jnp.uint32) << db)
         | jnp.where(keep, rows[:, 4].astype(jnp.uint32), 0)
     ).astype(jnp.int32)
-    t_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    sent_key = ((t_ids.astype(jnp.uint32) << db) | levels).astype(jnp.int32)
     # ONE packed payload: (gid << j_bits) | j. Sentinels carry gid = n + t;
     # invalid/culled rows carry gid = n + T (their keys sort past
     # everything, and the >= n high bits flag them as non-real alongside
     # sentinels).
     pj = (gid_safe << j_bits) | j
     pj = jnp.where(keep, pj, (n + num_tiles) << j_bits)
-    if shard_axis is not None:
-        # rejoin the slot domain: 8 B/slot over ICI (~4 MB at cap 500k),
-        # against the ~4.5 ms of per-slot gather/cull work just sharded
-        key = jax.lax.all_gather(key, shard_axis, axis=0, tiled=True)
-        pj = jax.lax.all_gather(pj, shard_axis, axis=0, tiled=True)
-        # recover global per-slot flags from the gathered payload (culled/
-        # invalid rows carry gid = n + T in the high bits)
-        slots = jnp.arange(cap, dtype=jnp.int32)
-        valid = slots < total
-        keep = pj < (n << j_bits)
+    return key, pj
+
+
+def bin_gaussians(
+    prep: Preprocessed,
+    settings: RasterSettings,
+) -> Binning:
+    """Build the per-tile depth-sorted instance bookkeeping (full tile
+    grid; for the tile-sharded variant see bin_gaussians_routed)."""
+    n = prep.depth.shape[0]
+    cap, max_tiles = settings.resolve_caps(n)
+    grad_cap = settings.resolve_grad_cap(n)
+    num_tiles = settings.num_tiles
+
+    j_bits = _payload_bits(n, num_tiles)
+    max_tiles = min(max_tiles, 1 << j_bits)
+    emit, cum, clipped = _emission_prefix(prep, max_tiles)
+    total = cum[-1]
+    # T sentinel rows must fit inside the cap window for the tile ranges to
+    # be recoverable; anything past that is dropped and counted
+    overflow = jnp.maximum(total - (cap - num_tiles), 0)
+
+    g_table = _instance_table(prep, cum, emit, num_tiles)
+    slots = jnp.arange(cap, dtype=jnp.int32)
+    key, pj = _enumerate_slots(g_table, cum, total, slots, n, settings)
+    valid = slots < total
+    keep = pj < (n << j_bits)
+    db = DEPTH_BITS(num_tiles)
+    levels = jnp.uint32((1 << db) - 1)
+    t_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    # one sentinel row per tile carries (tile, max-depth) and is appended
+    # AFTER all real rows, so the stable sort parks it at the end of its
+    # tile's segment
+    sent_key = ((t_ids.astype(jnp.uint32) << db) | levels).astype(jnp.int32)
     key_all = jnp.concatenate([key, sent_key])
     pj_all = jnp.concatenate([pj, (n + t_ids) << j_bits])
 
@@ -448,6 +439,204 @@ def bin_gaussians(
         tile_lo=tile_lo.astype(jnp.int32),
         chunks_exec=chunks_exec.astype(jnp.int32),
         perm=perm,
+    )
+
+
+class RoutedBinning(NamedTuple):
+    """Per-DEVICE sorted instance bookkeeping under tile sharding (all
+    shapes static; produced inside shard_map by bin_gaussians_routed).
+
+    The local sorted array holds ONLY this device's owned tiles' kept
+    instances (routed in by an all_to_all), interleaved with one sentinel
+    row per owned tile, then pad rows. Within a tile the (key, payload)
+    order is identical to the unsharded global sort — the routing permutes
+    nothing inside a tile."""
+
+    gid_sorted: jax.Array  # (cap_local,) int32 source gaussian (clamped)
+    j_sorted: jax.Array  # (cap_local,) int32 within-gaussian tile index
+    tid_sorted: jax.Array  # (cap_local,) int32 tile (global ids; sentinels
+    # carry their real tile, pads num_tiles)
+    sent_sorted: jax.Array  # (cap_local,) bool sentinel/pad rows
+    tile_lo: jax.Array  # (cap_local//CHUNK + 1,) int32 GLOBAL-numbered
+    # first-unflushed-tile per chunk boundary (t0 + #owned sentinels before)
+    chunks_exec: jax.Array  # () int32 chunks covering all owned sentinels
+    t0: jax.Array  # () int32 first owned tile
+    t1: jax.Array  # () int32 one past last owned tile (t0 + n_owned)
+    emit_cum: jax.Array  # (N,) int32 inclusive per-gaussian emission prefix
+    offset: jax.Array  # (N,) int32 first emission slot (global)
+    num_instances: jax.Array  # () int32 true emitted instances (global)
+    overflow: jax.Array  # () int32 instances past the global slot budget
+    clipped: jax.Array  # () int32 tiles dropped by the per-gaussian cap
+    route_dropped: jax.Array  # () int32 LOCAL instances dropped because a
+    # (source, dest) routing budget overflowed — psum for the global count
+
+
+def routed_local_cap(cap: int, shard_num: int, num_tiles: int):
+    """(cap_pair, t_local, cap_local) static routing geometry.
+
+    cap_pair is each (src, dst) all_to_all budget: 2x tile-skew headroom
+    over the even split of a source slice across its possible destinations.
+    A slice has cap/D slots and only min(D, T) reachable destinations (a
+    tiles axis wider than the tile grid routes everything into T owners),
+    so the even split is cap/D/min(D, T); overshoot beyond 2x is dropped
+    and counted (RoutedBinning.route_dropped)."""
+    cap_l = cap // shard_num
+    dests = max(1, min(shard_num, num_tiles))
+    cap_pair = -(-2 * cap_l // dests)  # ceil
+    t_pad = -(-num_tiles // shard_num) * shard_num
+    t_local = t_pad // shard_num
+    cap_local = -(-(shard_num * cap_pair + t_local) // CHUNK) * CHUNK
+    return cap_pair, t_local, cap_local
+
+
+def bin_gaussians_routed(
+    prep: Preprocessed,
+    settings: RasterSettings,
+    shard_axis: str,
+    shard_num: int,
+) -> RoutedBinning:
+    """Tile-sharded binning: enumeration AND sorts run at ~cap/D per device
+    (SCALING.md roadmap item 1; replaces the round-2 scheme of sharded
+    enumeration + all_gather + fully replicated sorts).
+
+    Per device d (inside shard_map over `shard_axis`, size D):
+      1. enumerate slots [d*cap/D, (d+1)*cap/D) -> (key, pj) local rows;
+      2. local sort by (key, pj) — tile rides the key's high bits, so the
+         locally sorted array is partitioned into D contiguous destination
+         ranges (device r owns tiles [r*t_local, (r+1)*t_local));
+      3. all_to_all fixed (D, cap_pair, 2) blocks (per-pair budget with 2x
+         skew headroom; overshoot counted in route_dropped);
+      4. local merge sort of the received rows + this device's owned-tile
+         sentinel rows -> the device's sorted array; tile ranges/tile_lo
+         recovered from sentinel positions exactly as in bin_gaussians.
+
+    The final (key, pj) order within each tile equals the unsharded global
+    sort's (the total order on (key, pj) does not depend on which device
+    sorted it), so rendering is bit-identical to bin_gaussians + slicing.
+    """
+    n = prep.depth.shape[0]
+    cap, max_tiles = settings.resolve_caps(n)
+    num_tiles = settings.num_tiles
+    assert cap % shard_num == 0, (
+        f"instance capacity {cap} must divide the tiles axis {shard_num} "
+        "(resolve_caps rounds to 128; use a power-of-two axis)"
+    )
+    j_bits = _payload_bits(n, num_tiles)
+    max_tiles = min(max_tiles, 1 << j_bits)
+    emit, cum, clipped = _emission_prefix(prep, max_tiles)
+    total = cum[-1]
+    overflow = jnp.maximum(total - (cap - num_tiles), 0)
+    g_table = _instance_table(prep, cum, emit, num_tiles)
+
+    cap_l = cap // shard_num
+    d = jax.lax.axis_index(shard_axis)
+    slots = d * cap_l + jnp.arange(cap_l, dtype=jnp.int32)
+    key, pj = _enumerate_slots(g_table, cum, total, slots, n, settings)
+
+    # ---- 2. local sort: ascending tiles partition the rows by destination
+    key_l, pj_l = jax.lax.sort((key, pj), num_keys=2, is_stable=False)
+    db = DEPTH_BITS(num_tiles)
+    tile_l = (key_l.astype(jnp.uint32) >> db).astype(jnp.int32)
+
+    cap_pair, t_local, cap_local = routed_local_cap(cap, shard_num, num_tiles)
+    # destination ranges: lo_r = #{tiles < r*t_local} via one rank pass
+    # (clamp to num_tiles so the invalid tail, tile == T, never routes)
+    qs = jnp.minimum(
+        jnp.arange(1, shard_num + 1, dtype=jnp.int32) * t_local,
+        jnp.int32(num_tiles),
+    ) - 1
+    his = _rank_in_sorted(tile_l, qs)  # (D,) hi_r = lo_{r+1}
+    los = jnp.concatenate([jnp.zeros(1, jnp.int32), his[:-1]])
+    route_dropped = jnp.sum(jnp.maximum(his - los - cap_pair, 0))
+
+    # ---- 3. fixed-size send blocks + all_to_all. Pad rows: key past every
+    # real key (tile bits = T), payload the invalid marker.
+    pad_key = jnp.int32(
+        (jnp.uint32(num_tiles) << db) | jnp.uint32((1 << db) - 1)
+    )
+    pad_pj = jnp.int32((n + num_tiles) << j_bits)
+    idx = los[:, None] + jnp.arange(cap_pair, dtype=jnp.int32)[None, :]
+    in_range = idx < his[:, None]
+    idx_c = jnp.minimum(idx, cap_l - 1).reshape(-1)
+    packed_l = jnp.stack([key_l, pj_l], axis=1)  # (cap_l, 2) ONE row gather
+    send = _row_gather(packed_l, idx_c).reshape(shard_num, cap_pair, 2)
+    send = jnp.where(
+        in_range[:, :, None],
+        send,
+        jnp.stack([pad_key, pad_pj])[None, None, :],
+    )
+    recv = jax.lax.all_to_all(
+        send, shard_axis, split_axis=0, concat_axis=0, tiled=False
+    )
+    key_r = recv[:, :, 0].reshape(-1)
+    pj_r = recv[:, :, 1].reshape(-1)
+
+    # ---- 4. local merge: received rows + owned sentinels + chunk pad
+    t0 = d * t_local
+    own = t0 + jnp.arange(t_local, dtype=jnp.int32)
+    own_real = own < num_tiles
+    levels = jnp.uint32((1 << db) - 1)
+    sent_key = jnp.where(
+        own_real,
+        ((own.astype(jnp.uint32) << db) | levels).astype(jnp.int32),
+        pad_key,
+    )
+    sent_pj = jnp.where(own_real, (n + own) << j_bits, pad_pj)
+    n_tail = cap_local - shard_num * cap_pair - t_local
+    key_all = jnp.concatenate(
+        [key_r, sent_key, jnp.full((n_tail,), pad_key, jnp.int32)]
+    )
+    pj_all = jnp.concatenate(
+        [pj_r, sent_pj, jnp.full((n_tail,), pad_pj, jnp.int32)]
+    )
+    key_s, pj_s = jax.lax.sort((key_all, pj_all), num_keys=2, is_stable=False)
+    key_s = _ob(key_s)
+    pj_s = _ob(pj_s)
+
+    gid_s = jnp.minimum(pj_s >> j_bits, n - 1)
+    j_s = pj_s & ((1 << j_bits) - 1)
+    is_sent = pj_s >= (n << j_bits)
+    tid_sorted = jnp.minimum(
+        (key_s.astype(jnp.uint32) >> db).astype(jnp.int32),
+        jnp.int32(num_tiles),
+    )
+
+    # owned-tile ends from sentinel positions (pads are is_sent too but
+    # sort past every owned sentinel — same invariant as bin_gaussians)
+    pos_c = jnp.arange(cap_local, dtype=jnp.int32)
+    (sent_packed,) = jax.lax.sort(
+        (jnp.where(is_sent, pos_c, (1 << 24) | pos_c),),
+        num_keys=1,
+        is_stable=False,
+    )
+    ends_l = _ob(sent_packed[:t_local] & ((1 << 24) - 1))
+    n_owned = jnp.clip(jnp.int32(num_tiles) - t0, 0, t_local)
+    i_t = jnp.arange(t_local, dtype=jnp.int32)
+    ends_valid = jnp.where(i_t < n_owned, ends_l, jnp.int32(cap_local))
+    last_end = jnp.where(
+        n_owned > 0, ends_l[jnp.maximum(n_owned - 1, 0)], jnp.int32(-1)
+    )
+    chunks_exec = (last_end + 1 + CHUNK - 1) // CHUNK
+
+    nc = cap_local // CHUNK
+    chunk_starts = jnp.arange(nc + 1, dtype=jnp.int32) * CHUNK
+    tile_lo = t0 + _rank_in_sorted(ends_valid + 1, chunk_starts)
+
+    return RoutedBinning(
+        gid_sorted=gid_s,
+        j_sorted=j_s,
+        tid_sorted=tid_sorted,
+        sent_sorted=is_sent,
+        tile_lo=tile_lo.astype(jnp.int32),
+        chunks_exec=chunks_exec.astype(jnp.int32),
+        t0=t0.astype(jnp.int32),
+        t1=(t0 + n_owned).astype(jnp.int32),
+        emit_cum=cum.astype(jnp.int32),
+        offset=(cum - emit).astype(jnp.int32),
+        num_instances=total.astype(jnp.int32),
+        overflow=overflow.astype(jnp.int32),
+        clipped=clipped.astype(jnp.int32),
+        route_dropped=route_dropped.astype(jnp.int32),
     )
 
 

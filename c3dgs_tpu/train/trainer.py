@@ -117,6 +117,12 @@ def create_train_state(
     )
 
 
+# indexed scenes at/above this capacity evaluate SH colors block-wise from
+# the codebook instead of materializing dense (P, K, 3) SH (~960 MB at 5M
+# splats; ops/sh.py sh_to_rgb_indexed_blocked)
+BLOCKED_COLORS_MIN = 1 << 20
+
+
 def render_scene(
     scene: GaussianScene,
     extrinsic_vector: jax.Array,
@@ -125,11 +131,41 @@ def render_scene(
     viewspace_offset: Optional[jax.Array] = None,
     cov3d: Optional[jax.Array] = None,
     scaling_modifier: float = 1.0,
+    blocked_colors: Optional[bool] = None,
 ):
     """GaussianModel.render equivalent on a GaussianScene
-    (gaussian_model.py:766-886): accessors -> rasterize."""
+    (gaussian_model.py:766-886): accessors -> rasterize.
+
+    blocked_colors: for codebook-indexed scenes, compute per-splat RGB
+    block-wise from the (C, K, 3) codebook instead of de-indexing to dense
+    SH first (the reference's in-kernel indexed gather re-designed for XLA,
+    forward_indexed.cu:226). None = auto (on at >= BLOCKED_COLORS_MIN)."""
     settings = settings_with_degree(settings, scene.active_sh_degree)
     cov = scene.get_covariance(scaling_modifier) if cov3d is None else cov3d
+    use_blocked = scene.is_color_indexed and (
+        blocked_colors
+        or (blocked_colors is None and scene.capacity >= BLOCKED_COLORS_MIN)
+    )
+    shs = colors = None
+    if use_blocked:
+        from ..ops import camera_math, sh as sh_ops
+
+        xyz = scene.get_xyz()
+        cam_pos = camera_math.camera_center_from_extrinsic(extrinsic_vector)
+        dirs = xyz - cam_pos
+        # same guarded normalization as preprocess (NaN-free padded rows)
+        dirs = dirs * jax.lax.rsqrt(
+            jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-20
+        )
+        colors = sh_ops.sh_to_rgb_indexed_blocked(
+            settings.sh_degree,
+            scene.get_features_raw(),
+            scene.feature_indices,
+            dirs,
+            clamp_color=settings.clamp_color,
+        )
+    else:
+        shs = scene.get_features()
     return render(
         scene.get_xyz(),
         cov,
@@ -137,7 +173,8 @@ def render_scene(
         extrinsic_vector,
         settings,
         bg,
-        shs=scene.get_features(),
+        shs=shs,
+        colors_precomp=colors,
         viewspace_offset=viewspace_offset,
     )
 
@@ -254,7 +291,17 @@ def zero_moments_at(opt_state, written: jax.Array, fields=None):
     return (adam_state, step)
 
 
-@functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+@functools.partial(
+    jax.jit,
+    static_argnums=(2,),
+    # max_screen_size is None until the first opacity reset, then a fixed
+    # 20.0 (train.py:164): TWO compilations, and prune's `if
+    # max_screen_size` stays a python branch (tracing it was a
+    # TracerBoolConversionError the test scenes never reached — the
+    # screen-size arm only fires deep into real training)
+    static_argnames=("max_screen_size", "min_opacity"),
+    donate_argnums=(0,),
+)
 def densify_step(
     state: TrainState,
     extent: float | jax.Array,

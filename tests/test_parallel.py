@@ -37,14 +37,14 @@ def test_tile_sharded_render_matches_single():
     img_sharded = np.asarray(img_sharded)
     img_single = np.asarray(trainer.render_scene(scene, EV, SET, BG)["render"])
     np.testing.assert_allclose(img_sharded, img_single, atol=1e-5)
-    # benign tile distribution: nothing may be truncated
-    assert int(diag["shard_truncated_chunks"]) == 0
+    # benign tile distribution: nothing may be dropped
+    assert int(diag["shard_route_dropped"]) == 0
 
 
 def test_tile_skew_trips_truncation_counter():
     """Adversarial tile skew: every gaussian lands in ONE tile, with an
     instance capacity tight enough that the owning device's chunk range
-    exceeds its LOCAL_CAP_FACTOR*cap/D window. The truncation counter must
+    exceeds the per-pair routing budget (2x headroom). The drop counter must
     be nonzero — silent corruption is not an accepted failure mode."""
     import dataclasses
 
@@ -68,7 +68,7 @@ def test_tile_skew_trips_truncation_counter():
     _, diag = render_tile_sharded(
         scene, EV, settings, BG, mesh, return_diag=True
     )
-    assert int(diag["shard_truncated_chunks"]) > 0
+    assert int(diag["shard_route_dropped"]) > 0
 
 
 def test_hybrid_train_step_runs_and_matches():
@@ -86,7 +86,7 @@ def test_hybrid_train_step_runs_and_matches():
     step = make_hybrid_train_step(mesh, SET, opt, 1.0)
     new_state, metrics = step(state, evs, gts, BG)
     assert np.isfinite(float(metrics["loss"]))
-    assert int(metrics["shard_truncated_chunks"]) == 0
+    assert int(metrics["shard_route_dropped"]) == 0
     # parameters actually moved
     assert np.abs(np.asarray(new_state.scene.xyz) - orig_xyz).max() > 0
 

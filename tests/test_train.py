@@ -61,6 +61,12 @@ def test_densify_stats_and_step():
     assert n_after != n_before
     assert np.isfinite(np.asarray(state2.scene.xyz)).all()
     state2.scene.check_state()
+    # the ARMED screen-size branch (train.py passes 20.0 after the first
+    # opacity reset): regression for the TracerBoolConversionError that
+    # only real >30-epoch runs reached (max_screen_size must be static)
+    state3, _ = trainer.densify_step(state2, 10.0, opt, max_screen_size=20.0)
+    assert np.isfinite(np.asarray(state3.scene.xyz)).all()
+    state3.scene.check_state()
 
 
 def test_prune_removes_transparent():
