@@ -22,6 +22,22 @@ from ..render.capacity import CapacityPolicy
 from ..render.types import settings_from_intrinsic
 from ..train import trainer
 
+# settings is static (hashable dataclass); one compile per capacity bucket.
+# Eval renders MUST be jitted: eager mode dispatches thousands of ops per
+# frame through the tunneled backend — minutes per view, and any single
+# dispatch hiccup kills the whole compress run (seen in practice as a
+# spurious InvalidArgument mid-eval).
+_render_jit = None
+
+
+def _jit_render_scene(scene, extrinsic_vector, settings, bg):
+    import jax
+
+    global _render_jit
+    if _render_jit is None:
+        _render_jit = jax.jit(trainer.render_scene, static_argnums=(2,))
+    return _render_jit(scene, extrinsic_vector, settings, bg)
+
 
 def render_full(scene, extrinsic_vector, settings, bg, policy=None):
     """Render with overflow-free guarantee: if the frame's (gaussian, tile)
@@ -30,7 +46,7 @@ def render_full(scene, extrinsic_vector, settings, bg, policy=None):
     20 dB of PSNR on an inflated post-finetune scene)."""
     policy = policy or CapacityPolicy()
     for _ in range(8):
-        out = trainer.render_scene(
+        out = _jit_render_scene(
             scene, extrinsic_vector, policy.apply(settings), bg
         )
         if not policy.update(

@@ -11,6 +11,8 @@ import random
 import time
 from typing import List, Optional
 
+import jax
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,7 +46,9 @@ def finetune(
     # Seed the buckets from one probe render so the first steps don't ramp
     # through undersized buckets (each ramp step trains one clipped frame).
     probe_cam = cameras[0]
-    probe = trainer.render_scene(
+    # jitted: an eager render dispatches thousands of ops one-by-one
+    # through the tunneled backend
+    probe = jax.jit(trainer.render_scene, static_argnums=(2,))(
         scene,
         jnp.asarray(probe_cam.extrinsic_vector),
         settings_from_intrinsic(probe_cam.intrinsic),
