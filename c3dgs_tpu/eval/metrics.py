@@ -39,6 +39,22 @@ def _jit_render_scene(scene, extrinsic_vector, settings, bg):
     return _render_jit(scene, extrinsic_vector, settings, bg)
 
 
+_metrics_jit = None
+
+
+def _jit_metrics(img, gt):
+    """PSNR+SSIM under one jit (eager SSIM convs are hundreds of tunnel
+    dispatches per view — same failure class as eager renders)."""
+    import jax
+
+    global _metrics_jit
+    if _metrics_jit is None:
+        _metrics_jit = jax.jit(
+            lambda a, b: (L.psnr(a, b)[0, 0], L.ssim(a, b))
+        )
+    return _metrics_jit(img, gt)
+
+
 def render_full(scene, extrinsic_vector, settings, bg, policy=None):
     """Render with overflow-free guarantee: if the frame's (gaussian, tile)
     instances exceed the capacity bucket, grow it and re-render. Silent
@@ -86,8 +102,8 @@ def render_and_eval(
         )
         img = out["render"]
         gt = jnp.asarray(cam.original_image)
-        p = float(L.psnr(img, gt)[0, 0])
-        s = float(L.ssim(img, gt))
+        p, s = _jit_metrics(img, gt)
+        p, s = float(p), float(s)
         psnrs.append(p)
         ssims.append(s)
         entry = {"psnr": p, "ssim": s}
