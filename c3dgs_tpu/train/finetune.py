@@ -37,6 +37,14 @@ def finetune(
         "finetune expects a compressed (indexed) scene"
     )
     bg = jnp.zeros(3) if bg is None else jnp.asarray(bg)
+    # defensive copy: the jitted train step DONATES its state buffers, and
+    # a compressed scene typically still aliases leaves of the caller's
+    # uncompressed scene (to_compressed rewrites only some attributes).
+    # Donation then deletes the caller's arrays — compress.py's
+    # uncompressed-baseline eval crashed on exactly this ("Array has been
+    # deleted"; surfaced as an opaque backend InvalidArgument in eager
+    # mode). One copy of the scene is noise next to 5000 finetune steps.
+    scene = jax.tree_util.tree_map(jnp.array, scene)
     state = trainer.create_train_state(scene, opt, spatial_lr_scale)
     rng = random.Random(seed)
     # adaptive instance/grad capacity: splats drift and inflate during QAT

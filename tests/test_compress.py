@@ -155,3 +155,24 @@ def test_compressed_scene_is_differentiable():
 
     g = jax.grad(loss)(scene.features_dc)
     assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_finetune_does_not_delete_callers_scene():
+    """Regression: the jitted finetune step donates its state buffers; a
+    compressed scene aliases leaves of the caller's uncompressed scene, so
+    without a defensive copy finetune DELETED the caller's arrays (the
+    trained-scene baseline eval in compress.py crashed with 'Array has
+    been deleted' after a 30-minute pipeline)."""
+    from c3dgs_tpu.config import OptimizationParams
+    from c3dgs_tpu.train.finetune import finetune
+
+    scene = toy_scene(n=80, cap=80)
+    cam = make_cam(scene)
+    compressed = scene.to_indexed()  # aliases every leaf of `scene`
+    out = finetune(
+        compressed, [cam], OptimizationParams(), iterations=2, log_every=0
+    )
+    assert out is not None
+    # every leaf of the ORIGINAL scene must still be alive and readable
+    for leaf in jax.tree_util.tree_leaves(scene):
+        np.asarray(leaf)

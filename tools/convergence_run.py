@@ -113,26 +113,35 @@ def main():
         )
         print(f"dataset written to {DATA}")
 
-    if os.path.exists(MODEL):
-        shutil.rmtree(MODEL)
+    import glob
 
-    sh(
-        [
-            sys.executable,
-            "train.py",
-            "-s",
-            DATA,
-            "-m",
-            MODEL,
-            "--eval",
-            "--epochs",
-            str(epochs),
-            # hedge: a mid-run checkpoint so an interrupted run still
-            # leaves a trained point cloud for the compression stage
-            "--save_epochs",
-            str(max(1, 2 * epochs // 3)),
-        ]
+    have_trained = glob.glob(
+        os.path.join(MODEL, "point_cloud", "iteration_*", "point_cloud.ply")
     )
+    if have_trained and not os.environ.get("C3DGS_FORCE_RETRAIN"):
+        # resume-friendly: training artifacts survive a compress-stage
+        # failure; don't repay the training hour
+        print(f"trained model exists ({have_trained[-1]}); skipping train")
+    else:
+        if os.path.exists(MODEL):
+            shutil.rmtree(MODEL)
+        sh(
+            [
+                sys.executable,
+                "train.py",
+                "-s",
+                DATA,
+                "-m",
+                MODEL,
+                "--eval",
+                "--epochs",
+                str(epochs),
+                # hedge: a mid-run checkpoint so an interrupted run still
+                # leaves a trained point cloud for the compression stage
+                "--save_epochs",
+                str(max(1, 2 * epochs // 3)),
+            ]
+        )
     sh(
         [
             sys.executable,
