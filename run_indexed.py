@@ -43,7 +43,9 @@ def main(argv=None):
         )
     cam = cams[0]
     settings = settings_from_intrinsic(cam.intrinsic)
-    out = trainer.render_scene(
+    import jax
+
+    out = jax.jit(trainer.render_scene, static_argnums=(2,))(
         compressed, jnp.asarray(cam.extrinsic_vector), settings, jnp.zeros(3)
     )
     from PIL import Image

@@ -58,7 +58,9 @@ def main(argv=None):
         )
         if args.dump_dir:
             os.makedirs(args.dump_dir, exist_ok=True)
-            out = trainer.render_scene(
+            import jax
+
+            out = jax.jit(trainer.render_scene, static_argnums=(2,))(
                 scene.gaussians, jnp.asarray(ev_opt), settings, jnp.zeros(3)
             )
             from PIL import Image
