@@ -83,10 +83,23 @@ def save_npz(
             d["scaling_factor"] = np.asarray(scene.scaling_factor).astype(dtype)
         d["rotation"] = np.asarray(scene.rotation).astype(dtype)
 
+    def _idx_dtype(rows: int):
+        # smallest unsigned dtype that addresses the codebook: the index
+        # arrays dominate the container at default codebook sizes (2 x
+        # int32 was 8 B/splat against ~8 B for everything else combined;
+        # uint16 halves them). load_npz astypes to int32, and the
+        # reference's loader tensorizes whatever dtype numpy hands it
+        # (gaussian_model.py:625-740), so the container stays readable.
+        return np.uint16 if rows <= (1 << 16) else np.int32
+
     if scene.is_color_indexed:
-        d["feature_indices"] = np.asarray(scene.feature_indices).astype(np.int32)
+        d["feature_indices"] = np.asarray(scene.feature_indices).astype(
+            _idx_dtype(scene.features_dc.shape[0])
+        )
     if scene.is_gaussian_indexed:
-        d["gaussian_indices"] = np.asarray(scene.gaussian_indices).astype(np.int32)
+        d["gaussian_indices"] = np.asarray(scene.gaussian_indices).astype(
+            _idx_dtype(scene.scaling.shape[0])
+        )
 
     (np.savez_compressed if compress else np.savez)(path, **d)
     return scene
