@@ -392,17 +392,6 @@ def bin_gaussians(
     grad_total = jnp.sum(nchunks) * CHUNK
     grad_overflow = jnp.maximum(grad_total - grad_cap, 0)
 
-    # grad-reduction boundaries under full coverage: #{kept slots <
-    # emit_cum[i]} — culled instances never reach the grad buffer, so the
-    # sorted grad rows compact past them and slot-domain boundaries would
-    # misattribute (rasterizer._reduce_instance_grads)
-    kept_cum = _ob(jnp.cumsum(keep.astype(jnp.int32)))
-    cum_idx = jnp.clip(cum.astype(jnp.int32) - 1, 0, cap - 1)
-    boundary_cum = jnp.where(
-        cum > 0, _row_gather_sorted(kept_cum[:, None], cum_idx)[:, 0], 0
-    )
-    culled = jnp.sum(valid.astype(jnp.int32)) - kept_cum[-1]
-
     # ---- packed-chunk bookkeeping: the packed kernels walk aligned CHUNK
     # windows of the sorted array; tiles flush at their sentinel lane, so
     # per-chunk tile ranges are ranks of chunk starts among sentinel
@@ -413,10 +402,21 @@ def bin_gaussians(
     chunks_exec = (ends[num_tiles - 1] + 1 + CHUNK - 1) // CHUNK
     # inverse permutation to gaussian-major order: grad row of sorted slot s
     # lands at position rank(pj_s[s]); sentinels/invalid sort to the tail
-    _, perm = jax.lax.sort(
+    pj_gm, perm = jax.lax.sort(
         (pj_s, jnp.arange(cap, dtype=jnp.int32)), num_keys=2, is_stable=False
     )
     perm = _ob(perm)
+
+    # grad-reduction boundaries under full coverage: boundary_cum[i] =
+    # #{kept instances with gid <= i} (culled instances never reach the
+    # grad buffer, so the gaussian-major grad rows compact past them and
+    # slot-domain boundaries would misattribute). The perm sort's key
+    # output is pj in gaussian-major order, so one rank pass over its gid
+    # bits replaces the former kept-prefix cumsum + N-row gather (which
+    # cost ~2.1 ms/frame at 1080p — row gathers are ~7 ns/row).
+    gid_gm = pj_gm >> j_bits  # ascending; sentinels/invalid >= n at tail
+    boundary_cum = _rank_in_sorted(gid_gm, jnp.arange(n, dtype=jnp.int32))
+    culled = jnp.minimum(total, cap) - boundary_cum[-1]
 
     return Binning(
         gid_sorted=gid_s,

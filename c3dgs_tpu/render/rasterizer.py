@@ -136,8 +136,21 @@ def _blend_backward_call_packed(
         fast_grad=fast_grad,
         probe=os.environ.get("C3DGS_PROBE_BWD", ""),
     )
-    # one (T, 2*OUT_ROWS, PIX) array so each kernel flush is ONE DMA
-    tg = jnp.concatenate([totals, gout], axis=1)
+    # SLIM per-tile blocks: of the 16 totals+cotangent rows only 7 feed the
+    # backward (exp(lt), lt, freeze; dL/dC x3, dL/dT_final) — packing just
+    # those (padded to 8 sublanes) halves each flush's DMA bytes AND its
+    # one lane->sublane transpose, which the noflush strip-probe measured
+    # at ~8 ms/frame combined on the 1080p bench. Row map (TG_* in
+    # tiles_packed): 0 exp(lt_final), 1 lt_final, 2 freeze slot,
+    # 3..5 dL/dC, 6 dL/dT_final, 7 pad. Still ONE DMA per flush.
+    tg = jnp.concatenate(
+        [
+            totals[:, 3:6],
+            gout[:, :4],
+            jnp.zeros((totals.shape[0], 1, tiles.PIX), totals.dtype),
+        ],
+        axis=1,
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(cap // CHUNK,),
@@ -148,9 +161,9 @@ def _blend_backward_call_packed(
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, NUM_FIELDS, CHUNK), jnp.float32),  # fbuf
-            pltpu.VMEM((2, 2 * tiles.OUT_ROWS, tiles.PIX), jnp.float32),  # tgbuf
-            pltpu.VMEM((2, 2 * tiles.OUT_ROWS, tiles.PIX), jnp.float32),  # htgbuf
-            pltpu.VMEM((tiles.PIX, 2 * tiles.OUT_ROWS), jnp.float32),  # tg_open
+            pltpu.VMEM((2, tiles_packed.TG_ROWS, tiles.PIX), jnp.float32),
+            pltpu.VMEM((2, tiles_packed.TG_ROWS, tiles.PIX), jnp.float32),
+            pltpu.VMEM((tiles.PIX, tiles_packed.TG_ROWS), jnp.float32),
             pltpu.VMEM((2, NUM_FIELDS, CHUNK), jnp.float32),  # wbuf
             pltpu.VMEM((tiles.PIX, 1), jnp.float32),  # s_carry
             pltpu.VMEM((tiles.PIX, 1), jnp.float32),  # lt_carry
@@ -209,24 +222,32 @@ def _segment_prefix_diff(d_pre, end_idx, valid, compensated: bool):
 
 
 def _reduce_instance_grads_packed(
-    grads, perm, boundaries, cap: int, compensated: bool = False
+    grads, perm, boundaries, compensated: bool = False
 ):
-    """(NUM_FIELDS, cap) slot-aligned grads -> (N, NUM_FIELDS) per-gaussian.
+    """(NUM_FIELDS, exec_cap) slot-aligned grads -> (N, NUM_FIELDS)
+    per-gaussian.
 
     The packed kernels write one grad row per SORTED SLOT, so the
     gaussian-major reordering is the precomputed binning permutation (one
     int32 sort there replaces the round-1 reduction's f32 (key, pos) sort
     here); per-gaussian sums are prefix differences at the kept-instance
     boundaries (error-compensated when `compensated` — exact-grad mode).
-    Rows past kept_total are sentinel/invalid slots (zeros) or
-    unexecuted-chunk garbage — masked before the cumsum."""
+    The grad buffer may be SHORTER than the slot domain (execution
+    capacity): every kept slot lies below chunks_exec*CHUNK <= exec_cap
+    whenever grad_overflow == 0, so slicing perm to exec_cap positions
+    loses nothing; rows past kept_total (or perm entries past the buffer
+    on an overflowing frame) are masked before the cumsum."""
     live = NUM_USED_FIELDS
     n = boundaries.shape[0]
-    rows_all = _ob(grads.T)  # (cap, NUM_FIELDS)
-    d_pre = _ob(rows_all[perm])[:, :live]
+    rows = grads.shape[1]  # exec_cap
+    rows_all = _ob(grads.T)  # (exec_cap, NUM_FIELDS)
+    p = perm[:rows]
+    d_pre = _ob(rows_all[jnp.minimum(p, rows - 1)])[:, :live]
     kept_total = boundaries[-1]
-    idx = jnp.arange(cap, dtype=jnp.int32)
-    d_pre = jnp.where((idx < kept_total)[:, None], d_pre, 0.0)
+    idx = jnp.arange(rows, dtype=jnp.int32)
+    d_pre = jnp.where(
+        ((idx < kept_total) & (p < rows))[:, None], d_pre, 0.0
+    )
     seg = _segment_prefix_diff(d_pre, boundaries, boundaries > 0, compensated)
     return jnp.concatenate(
         [seg, jnp.zeros((n, NUM_FIELDS - live), seg.dtype)], axis=1
@@ -299,7 +320,7 @@ def _blend_packed_bwd(
         )
     else:
         d_table = _reduce_instance_grads_packed(
-            grads, perm, boundaries, cap, compensated=not fast_grad
+            grads, perm, boundaries, compensated=not fast_grad
         )
     return d_table, None
 
@@ -597,9 +618,21 @@ def render(
     cap, _ = settings.resolve_caps(n)
     grad_cap = settings.resolve_grad_cap(n)
     if settings.packed:
+        # execution capacity: the sorted content (kept instances +
+        # sentinels) ends at chunks_exec*CHUNK << cap (the slot domain
+        # carries cull/overflow slack). With a probed grad bucket, stage
+        # gather + kernel grids + grad buffer + reduction all run at
+        # exec_cap (~25% fewer rows on the 1080p bench); chunk clamping
+        # beyond it is counted so the capacity policy re-renders.
+        exec_cap = grad_cap  # == cap without a probed bucket
+        nc_exec = exec_cap // CHUNK
+        chunks_c = jnp.minimum(binning.chunks_exec, jnp.int32(nc_exec))
+        grad_overflow = (
+            jnp.maximum(binning.chunks_exec - nc_exec, 0) * CHUNK
+        )
         meta = jnp.stack(
             [
-                binning.chunks_exec,
+                chunks_c,
                 jnp.int32(0),
                 jnp.int32(settings.num_tiles),
                 jnp.int32(cap),
@@ -609,16 +642,16 @@ def render(
             settings.tiles_x,
             settings.num_tiles,
             settings.num_tiles,
-            cap,
+            exec_cap,
             cap,
             settings.fast_grad,
             table,
             (
-                binning.gid_sorted,
-                binning.tid_sorted,
-                binning.sent_sorted,
-                binning.j_sorted,
-                binning.tile_lo,
+                binning.gid_sorted[:exec_cap],
+                binning.tid_sorted[:exec_cap],
+                binning.sent_sorted[:exec_cap],
+                binning.j_sorted[:exec_cap],
+                binning.tile_lo[: nc_exec + 1],
                 meta,
                 binning.perm,
                 binning.boundary_cum,
@@ -633,8 +666,9 @@ def render(
             "visibility_filter": prep.radius > 0,
             "num_instances": binning.num_instances,
             "overflow": binning.overflow,
+            # report the TRUE need so the policy can size the bucket
             "grad_total": binning.chunks_exec * CHUNK,
-            "grad_overflow": jnp.int32(0),
+            "grad_overflow": grad_overflow,
             "clipped": binning.clipped,
             "culled": binning.culled,
         }

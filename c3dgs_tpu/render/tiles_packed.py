@@ -68,6 +68,15 @@ from .types import TILE_X, TILE_Y
 
 TID_ROW = 9  # staged field row carrying the lane's tile id (f32 exact)
 
+# slim backward tile-block layout (rasterizer._blend_backward_call_packed
+# packs only the 7 used totals/cotangent rows, padded to 8 sublanes):
+TG_EXP_LT = 0  # exp(lt_final) == T_final
+TG_LT = 1  # lt_final (the exact log-domain walk anchor)
+TG_FRZ = 2  # freeze start slot
+TG_GC = 3  # rows 3..5: dL/dC
+TG_GT = 6  # dL/dT_final
+TG_ROWS = 8
+
 
 def _local_pixel_coords():
     """Tile-local pixel x/y, (PIX, 1) f32 — lanes carry tile-local means, so
@@ -199,11 +208,13 @@ def forward_kernel(
         def _compute():
             px, py = _local_pixel_coords()
             grp = _group_ids(f, lo)
-            # dead lanes: frozen open tile's remainder + foreign tiles
-            # under sharding (tid outside [tile_start, tile_end));
-            # sentinel/invalid lanes are dead via staged opacity 0
+            # dead lanes: frozen open tile's remainder + pad/invalid rows
+            # (tid >= tile_end; grp < 0 is impossible — sorted order puts
+            # every earlier tile's lanes in earlier chunks, and the routed
+            # sharded arrays hold only owned tiles); sentinel lanes are
+            # dead via staged opacity 0
             tid = f[TID_ROW : TID_ROW + 1, :]
-            dead = (grp < 0.0) | (tid >= jnp.float32(1.0) * tile_end)
+            dead = tid >= jnp.float32(1.0) * tile_end
             dead = dead | ((frz0 >= 0) & (grp == 0.0))
             op_eff = jnp.where(dead, 0.0, f[5:6, :])
             dx, dy, alpha, _ = _chunk_alpha_packed(f, px, py, op_eff)
@@ -288,15 +299,15 @@ def backward_kernel(
     tile_lo_ref,
     meta_ref,  # (4,) int32: [chunks_exec, tile_start, tile_end, cap]
     fields_hbm,  # (NUM_FIELDS, cap)
-    tg_hbm,  # (T, 2*OUT_ROWS, PIX): totals rows 0..7 (3 T_final, 4
-    # lt_final, 5 freeze) | gout rows 8..15 (8..10 dL/dC, 11 dL/dT_final).
-    # ONE array so each flush is ONE DMA (the VJP wrapper concatenates
+    tg_hbm,  # (T, TG_ROWS, PIX) SLIM tile blocks: only the 7 used
+    # totals/cotangent rows (TG_* map at module top), padded to 8
+    # sublanes. ONE array so each flush is ONE DMA (the VJP wrapper packs
     # totals and cotangent once per frame in XLA)
     grads_hbm,  # out (NUM_FIELDS, cap) per-slot grads
     fbuf,  # VMEM (2, NUM_FIELDS, CHUNK)
-    tgbuf,  # VMEM (2, 2*OUT_ROWS, PIX) tile-block ring (groups >= 1)
-    htgbuf,  # VMEM (2, 2*OUT_ROWS, PIX) group-0 block, parity head-prefetch
-    tg_open,  # VMEM (PIX, 2*OUT_ROWS) open tile's block, pre-transposed
+    tgbuf,  # VMEM (2, TG_ROWS, PIX) tile-block ring (groups >= 1)
+    htgbuf,  # VMEM (2, TG_ROWS, PIX) group-0 block, parity head-prefetch
+    tg_open,  # VMEM (PIX, TG_ROWS) open tile's block, pre-transposed
     wbuf,  # VMEM (2, NUM_FIELDS, CHUNK) grad write ring
     s_carry,  # VMEM (PIX, 1) suffix carry of the open tile
     lt_carry,  # VMEM (PIX, 1) walked log-transmittance of the open tile
@@ -322,13 +333,16 @@ def backward_kernel(
 
     Relayout discipline (measured: per-column `.T` slices of the tile
     blocks cost ~6 ms/frame on the 1080p bench — lane->sublane relayouts
-    ride the VPU permute unit): each flushed tile's totals+gout block is
-    transposed ONCE as a fused (2*OUT_ROWS, PIX) -> (PIX, 2*OUT_ROWS)
-    value; every operand is then a natural (PIX, 1) column slice. The open
-    tile's state is kept pre-transposed in tg_open, so the per-chunk
-    operand init has no relayout at all. (A pixel-major HBM layout would
-    remove the per-flush transpose too, but Mosaic requires HBM<->VMEM
-    copies to have 128-aligned minor dims — OUT_ROWS=8 is not DMA-able.)"""
+    ride the VPU permute unit): each flushed tile's block is transposed
+    ONCE as a fused (TG_ROWS, PIX) -> (PIX, TG_ROWS) value; every operand
+    is then a natural (PIX, 1) column slice. The blocks are SLIM (8 rows,
+    only the used totals/cotangent data — the round-2 16-row layout's
+    flush loads+transposes measured ~8 ms/frame via the noflush strip
+    probe; halving the rows halves both). The open tile's state is kept
+    pre-transposed in tg_open, so the per-chunk operand init has no
+    relayout at all. (A pixel-major HBM layout would remove the per-flush
+    transpose too, but Mosaic requires HBM<->VMEM copies to have
+    128-aligned minor dims — TG_ROWS=8 is not DMA-able.)"""
     r = pl.program_id(0)
     nchunks = meta_ref[0]
     tile_start = meta_ref[1]
@@ -378,21 +392,21 @@ def backward_kernel(
         lt_carry[...] = jnp.zeros((PIX, 1), jnp.float32)
         # open-tile data: zeros (the tail "group" past the last sentinel is
         # invalid lanes only; their staged opacity is 0)
-        tg_open[...] = jnp.zeros((PIX, 2 * OUT_ROWS), jnp.float32)
+        tg_open[...] = jnp.zeros((PIX, TG_ROWS), jnp.float32)
         dma(0, c).start()
 
         @pl.when(nchunks >= 2)
         def _():
             dma(1, c - 1).start()
 
-        # head prefetch for THIS first chunk (nobody ran before r=0)
+        # head prefetch for THIS first chunk (nobody ran before r=0):
+        # UNCONDITIONAL with a clamped tile index — every chunk body waits
+        # the head semaphore exactly once, so every parity must be started
+        # exactly once (branch-free head protocol, see the body)
         @pl.when(nchunks >= 1)
         def _():
-            ng0, lo0 = head_ng(c)
-
-            @pl.when(ng0 >= 1)
-            def _():
-                htg_dma(0, lo0).start()
+            _, lo0 = head_ng(c)
+            htg_dma(0, jnp.clip(lo0, tile_start, tile_end - 1)).start()
 
     @pl.when(r < nchunks)
     def _body():
@@ -406,28 +420,38 @@ def backward_kernel(
         if probe == "noflush":
             ng = ng * 0
         slot0 = c * CHUNK
-        # freeze state of the open tile rides its totals column 5
-        frz_open = tg_open[0, 5]
+        # freeze state of the open tile rides its freeze column
+        frz_open = tg_open[0, TG_FRZ]
         frozen = (ng == 0) & (
             jnp.float32(1.0) * slot0.astype(jnp.float32) >= frz_open
         )
         if probe == "noflush":
             frozen = frozen & (slot0 < 0)
 
-        # head prefetch for the NEXT chunk (c-1): its group-0 tile loads are
-        # in flight a full chunk iteration before they are waited on
+        # head prefetch for the NEXT chunk (c-1): UNCONDITIONAL (clamped
+        # tile index), in flight a full chunk iteration before its wait.
+        # The flush protocol is BRANCH-FREE for the dominant ng <= 1 case:
+        # the per-flush lax.cond + nested pl.whens of the round-2 loop cost
+        # ~8 ms/frame of pure control (the noflush strip probe's delta was
+        # unchanged by halving the block bytes), so the head (group-0)
+        # block is now always DMA'd, always transposed, and its
+        # contribution masked by ng >= 1; only deeper groups (~13% of
+        # chunks) take the conditional ring loop.
         @pl.when(r + 1 < nchunks)
         def _():
-            ng_n, lo_n = head_ng(c - 1)
-
-            @pl.when(ng_n >= 1)
-            def _():
-                htg_dma((r + 1) % 2, lo_n).start()
+            _, lo_n = head_ng(c - 1)
+            htg_dma(
+                (r + 1) % 2, jnp.clip(lo_n, tile_start, tile_end - 1)
+            ).start()
 
         # on-demand ring start for group 1 (group 0 rides the head buffer)
         @pl.when(ng >= 2)
         def _():
             tg_dma(1, lo + 1).start()
+
+        @pl.when(ng >= 3)
+        def _():
+            tg_dma(0, lo + 2).start()
 
         dma(r % 2, c).wait()
         f = fbuf[r % 2]
@@ -442,49 +466,54 @@ def backward_kernel(
         # unconditionally: zero iterations when frozen, since frozen => ng==0)
         mt = (grp == ng.astype(jnp.float32))
         # natural column slices of the pre-transposed open-tile state
-        gc0 = tg_open[:, OUT_ROWS + 0 : OUT_ROWS + 1] * mt
-        gc1 = tg_open[:, OUT_ROWS + 1 : OUT_ROWS + 2] * mt
-        gc2 = tg_open[:, OUT_ROWS + 2 : OUT_ROWS + 3] * mt
-        gtt = (tg_open[:, OUT_ROWS + 3 : OUT_ROWS + 4] * tg_open[:, 3:4]) * mt
+        gc0 = tg_open[:, TG_GC + 0 : TG_GC + 1] * mt
+        gc1 = tg_open[:, TG_GC + 1 : TG_GC + 2] * mt
+        gc2 = tg_open[:, TG_GC + 2 : TG_GC + 3] * mt
+        gtt = (
+            tg_open[:, TG_GT : TG_GT + 1] * tg_open[:, TG_EXP_LT : TG_EXP_LT + 1]
+        ) * mt
         # trailing lanes use the WALKED carry, not lt_final
         lte = lt_carry[...] * mt
         scar = s_carry[...] * mt
         frz_l = frz_open * mt
 
+        # ---- head (group 0), branch-free: a head DMA was started for this
+        # parity by the previous chunk (or init) regardless of ng, so the
+        # wait always balances; the ONE lane->sublane relayout per chunk
+        # (an MXU identity-matmul transpose measured slower, and exactness
+        # forbids its bf16 input truncation anyway).
+        htg_dma(r % 2, jnp.clip(lo, tile_start, tile_end - 1)).wait()
+        tgT0 = htgbuf[r % 2].T  # (PIX, TG_ROWS)
+        mg0 = jnp.where(ng >= 1, (grp == 0.0).astype(jnp.float32), 0.0)
+        gc0 = gc0 + tgT0[:, TG_GC + 0 : TG_GC + 1] * mg0
+        gc1 = gc1 + tgT0[:, TG_GC + 1 : TG_GC + 2] * mg0
+        gc2 = gc2 + tgT0[:, TG_GC + 2 : TG_GC + 3] * mg0
+        gtt = gtt + (
+            tgT0[:, TG_GT : TG_GT + 1] * tgT0[:, TG_EXP_LT : TG_EXP_LT + 1]
+        ) * mg0
+        lte = lte + tgT0[:, TG_LT : TG_LT + 1] * mg0
+        frz_l = frz_l + tgT0[0:1, TG_FRZ : TG_FRZ + 1] * mg0
+
+        # rotate the open-tile state (chunk c-1's trailing tile is this
+        # chunk's group 0) — only when group 0 actually flushed here
+        @pl.when(ng >= 1)
+        def _():
+            tg_open[...] = tgT0
+
         def assemble(g, ops):
             gc0, gc1, gc2, gtt, lte, frz_l = ops
             sl = g % 2
-
-            def head_bufs():
-                # prefetched a full chunk ago (init block for the first chunk)
-                htg_dma(r % 2, lo).wait()
-                return htgbuf[r % 2]
-
-            def ring_bufs():
-                tg_dma(sl, lo + g).wait()
-                return tgbuf[sl]
-
-            tg = jax.lax.cond(g == 0, head_bufs, ring_bufs)
-            # the ONE lane->sublane relayout per flush: all operand columns
-            # below are natural (PIX, 1) slices of the transposed block.
-            # (An MXU identity-matmul transpose measured 0.6 ms SLOWER:
-            # the (PIX, 2*OUT_ROWS) output makes it an M=512 pass x2 for
-            # the hi/lo split — more than the VPU relayout it replaces.)
-            tgT = tg.T  # (PIX, 2*OUT_ROWS)
-
-            # rotate the open-tile state NOW (chunk c-1's trailing tile is
-            # this chunk's group 0)
-            @pl.when(g == 0)
-            def _():
-                tg_open[...] = tgT
-
+            tg_dma(sl, lo + g).wait()
+            tgT = tgbuf[sl].T  # (PIX, TG_ROWS)
             mg = (grp == g.astype(jnp.float32))
-            gc0 = gc0 + tgT[:, OUT_ROWS + 0 : OUT_ROWS + 1] * mg
-            gc1 = gc1 + tgT[:, OUT_ROWS + 1 : OUT_ROWS + 2] * mg
-            gc2 = gc2 + tgT[:, OUT_ROWS + 2 : OUT_ROWS + 3] * mg
-            gtt = gtt + (tgT[:, OUT_ROWS + 3 : OUT_ROWS + 4] * tgT[:, 3:4]) * mg
-            lte = lte + tgT[:, 4:5] * mg
-            frz_l = frz_l + tgT[0:1, 5:6] * mg
+            gc0 = gc0 + tgT[:, TG_GC + 0 : TG_GC + 1] * mg
+            gc1 = gc1 + tgT[:, TG_GC + 1 : TG_GC + 2] * mg
+            gc2 = gc2 + tgT[:, TG_GC + 2 : TG_GC + 3] * mg
+            gtt = gtt + (
+                tgT[:, TG_GT : TG_GT + 1] * tgT[:, TG_EXP_LT : TG_EXP_LT + 1]
+            ) * mg
+            lte = lte + tgT[:, TG_LT : TG_LT + 1] * mg
+            frz_l = frz_l + tgT[0:1, TG_FRZ : TG_FRZ + 1] * mg
 
             @pl.when(g + 2 < ng)
             def _():
@@ -493,12 +522,13 @@ def backward_kernel(
             return gc0, gc1, gc2, gtt, lte, frz_l
 
         gc0, gc1, gc2, gtt, lte, frz_l = jax.lax.fori_loop(
-            0, ng, assemble, (gc0, gc1, gc2, gtt, lte, frz_l)
+            1, ng, assemble, (gc0, gc1, gc2, gtt, lte, frz_l)
         )
 
         def compute():
-            # ---- alpha with deadness folded into opacity (matches fwd)
-            dead = (grp < 0.0) | (tid >= jnp.float32(1.0) * tile_end)
+            # ---- alpha with deadness folded into opacity (matches fwd;
+            # grp < 0 impossible — see the forward kernel's dead comment)
+            dead = tid >= jnp.float32(1.0) * tile_end
             dead = dead | (slot_lane >= frz_l)
             op_eff = jnp.where(dead, 0.0, f[5:6, :])
             op = jnp.maximum(op_eff, 1e-12)

@@ -10,8 +10,14 @@ from __future__ import annotations
 import dataclasses
 from typing import Tuple
 
-TILE_X = 32  # pixels per tile, x (reference config.h:16 uses 16; 32 wins on TPU)
-TILE_Y = 16  # pixels per tile, y (reference config.h:17)
+import os as _os
+
+# Tile shape (reference config.h:16-17 uses 16x16; 32x16 won on TPU for
+# the round-1 per-tile kernels). Env-overridable for tile-shape
+# experiments (C3DGS_TILE_X/Y, read once at import — every consumer
+# derives from these two constants).
+TILE_X = int(_os.environ.get("C3DGS_TILE_X", 32))  # pixels per tile, x
+TILE_Y = int(_os.environ.get("C3DGS_TILE_Y", 16))  # pixels per tile, y
 # binning slot-domain ceiling: sentinel positions pack into 24 bits and
 # presort slots must be exact in f32 (render/binning.py) — 16.7M instances,
 # enough for ~5M-gaussian scenes at trained tile fanouts
@@ -101,8 +107,18 @@ class RasterSettings:
 
     def resolve_grad_cap(self, num_gaussians: int) -> int:
         if self.packed:
-            # packed kernels write exactly one grad row per sorted slot
+            # packed kernels write one grad row per sorted slot, and this
+            # doubles as the EXECUTION capacity: the sorted array's content
+            # (kept instances + sentinels) ends well before the slot-domain
+            # cap (the enumeration domain includes culled/overflow slack),
+            # so staging, both kernel grids, the grad buffer, and the
+            # reduction all run at this tighter bound when the capacity
+            # policy has probed the frame's true grad_total. Overshoot
+            # clamps the executed chunks and is counted in grad_overflow
+            # (the policy grows the bucket and re-renders).
             cap, _ = self.resolve_caps(num_gaussians)
+            if self.grad_capacity:
+                return min((self.grad_capacity + 127) // 128 * 128, cap)
             return cap
         if self.grad_capacity:
             return (self.grad_capacity + 127) // 128 * 128

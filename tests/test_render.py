@@ -333,18 +333,21 @@ def test_render_full_grows_capacity_until_overflow_free():
     from c3dgs_tpu.train import trainer as _tr
 
     calls = {"n": 0}
-    orig = _tr.render_scene
 
     def counting(scene, ev_, st, bg_, **kw):
         calls["n"] += 1
         return rasterizer.render(means, cov, op, ev_, st, bg_, colors_precomp=colors)
 
-    _tr_render = _tr.render_scene
-    _tr.render_scene = counting
+    # stub the module's jit boundary (render_full renders through a cached
+    # jitted render_scene; the shim is not a pytree)
+    from c3dgs_tpu.eval import metrics as _metrics
+
+    orig_jit = _metrics._jit_render_scene
+    _metrics._jit_render_scene = counting
     try:
         out = render_full(SceneShim(), ev, small, bg, pol)
     finally:
-        _tr.render_scene = _tr_render
+        _metrics._jit_render_scene = orig_jit
     assert calls["n"] >= 2  # at least one regrow happened
     assert int(out["overflow"]) == 0
     np.testing.assert_allclose(
@@ -387,3 +390,42 @@ def test_blocked_indexed_colors_match_dense():
     )
     dense = sh_ops.sh_to_rgb(3, jnp.asarray(codebook[idx]), jnp.asarray(dirs))
     np.testing.assert_allclose(np.asarray(blocked), np.asarray(dense), atol=1e-6)
+
+
+def test_packed_execution_capacity_exact_and_counted():
+    """Packed mode: a probed grad bucket doubles as the execution capacity
+    (stage/kernels/reduction run at exec_cap < cap). With enough room the
+    image AND gradients are bit-comparable to the full-cap render; when the
+    bucket is too tight the clamp is COUNTED in grad_overflow."""
+    means, cov, op, ev, colors, _ = make_scene(250)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    full = dataclasses.replace(SETTINGS, instance_capacity=1 << 13)
+    out_full = rasterizer.render(means, cov, op, ev, full, bg, colors_precomp=colors)
+    need = int(out_full["grad_total"])  # chunks_exec * CHUNK
+    tight = dataclasses.replace(full, grad_capacity=need + 128)
+
+    def loss(settings):
+        def f(m, c, o, col):
+            return (
+                rasterizer.render(m, c, o, ev, settings, bg, colors_precomp=col)[
+                    "render"
+                ]
+                ** 2
+            ).sum()
+
+        return f
+
+    out_t = rasterizer.render(means, cov, op, ev, tight, bg, colors_precomp=colors)
+    assert int(out_t["grad_overflow"]) == 0
+    np.testing.assert_allclose(
+        np.asarray(out_t["render"]), np.asarray(out_full["render"]), atol=1e-6
+    )
+    g_full = jax.grad(loss(full), argnums=(0, 1, 2, 3))(means, cov, op, colors)
+    g_t = jax.grad(loss(tight), argnums=(0, 1, 2, 3))(means, cov, op, colors)
+    for a, b in zip(g_full, g_t):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+    # too tight: clamped chunks are counted, never silent
+    clamped = dataclasses.replace(full, grad_capacity=max(need - 512, 128))
+    out_c = rasterizer.render(means, cov, op, ev, clamped, bg, colors_precomp=colors)
+    assert int(out_c["grad_overflow"]) > 0

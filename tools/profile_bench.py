@@ -39,6 +39,12 @@ def build_step(packed: bool, n=300_000, width=1920, height=1080):
     cols = rng.random(size=(n, 3)).astype(np.float32)
     scene = gmod.from_point_cloud(pts, cols, capacity=n, quantization=False)
     scene = scene.replace(scaling_factor=scene.scaling_factor + math.log(0.15))
+    # same workload selector as bench.py (default = trained statistics)
+    if os.environ.get("C3DGS_BENCH_OPACITY", "trained") == "trained":
+        op = np.clip(rng.beta(0.5, 0.35, size=(n, 1)), 0.005, 0.995)
+        scene = scene.replace(
+            opacity=jnp.asarray(np.log(op / (1.0 - op)).astype(np.float32))
+        )
     settings = RasterSettings(
         width=width,
         height=height,

@@ -37,7 +37,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--n_init", type=int, default=1_000_000)
-    ap.add_argument("--n_gt", type=int, default=800_000)
+    ap.add_argument("--n_gt", type=int, default=600_000)
     ap.add_argument("--n_views", type=int, default=12)
     ap.add_argument("--res", type=str, default="1920x1080")
     args = ap.parse_args()
@@ -117,12 +117,19 @@ def main():
     gt_scene = make_gt_scene(args.n_gt)
     evs = [cam(2 * math.pi * i / args.n_views) for i in range(args.n_views)]
 
-    probe_set = CapacityPolicy(initial=1 << 23).apply(settings)
-    render_gt = jax.jit(
-        lambda e: trainer.render_scene(gt_scene, e, probe_set, bg)["render"]
-    )
+    # modest initial bucket; render_gt probes + grows on overflow (a
+    # 2^23-slot first guess OOMed: staged+grad+sort buffers all scale with
+    # the static capacity)
+    gt_policy = CapacityPolicy(initial=1 << 22)
+    from c3dgs_tpu.eval.metrics import render_full
+
     print("rendering ground-truth views...", flush=True)
-    gts = [jax.device_get(render_gt(e)) for e in evs]
+    gts = [
+        jax.device_get(
+            render_full(gt_scene, e, settings, bg, gt_policy)["render"]
+        )
+        for e in evs
+    ]
     gts = [jnp.asarray(g) for g in gts]
     del gt_scene
 
@@ -141,7 +148,7 @@ def main():
     opt = OptimizationParams()
     state = trainer.create_train_state(scene, opt, spatial_lr_scale=4.0)
 
-    capacity = CapacityPolicy(initial=1 << 23)
+    capacity = CapacityPolicy(initial=1 << 22)
     steps = args.steps
     densify_every = 150
     densify_from = 200
