@@ -657,6 +657,23 @@ def render(
                 binning.boundary_cum,
             ),
         )
+        # SOFT clamp: tiles whose sentinel fell beyond the executed chunks
+        # never flushed — their out blocks are uninitialized HBM. Replace
+        # them with empty-tile blocks (T=1 -> background) so an
+        # overflowing frame degrades deterministically instead of feeding
+        # NaNs into the loss (one poisoned Adam step is unrecoverable; the
+        # capacity policy re-renders/grows on the counted grad_overflow).
+        # tile_lo[chunks_c] = first unflushed tile (== num_tiles when
+        # nothing clamped, making this a no-op mask).
+        first_unflushed = jnp.take(binning.tile_lo, chunks_c)
+        complete = (
+            jnp.arange(settings.num_tiles, dtype=jnp.int32) < first_unflushed
+        )
+        empty = jnp.zeros((out_tiles.shape[1], out_tiles.shape[2]))
+        empty = empty.at[3].set(1.0)  # exp(lt)=1: pure background
+        out_tiles = jnp.where(
+            complete[:, None, None], out_tiles, empty[None]
+        )
         color, final_t = assemble_image(out_tiles, settings)
         image = color + final_t[None] * bg[:, None, None]
         return {

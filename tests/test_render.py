@@ -425,7 +425,27 @@ def test_packed_execution_capacity_exact_and_counted():
     for a, b in zip(g_full, g_t):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
 
-    # too tight: clamped chunks are counted, never silent
+    # too tight: clamped chunks are counted, never silent — and the
+    # unflushed tiles degrade SOFTLY to background (their raw out blocks
+    # are uninitialized HBM; unmasked, a single clamped training frame
+    # feeds NaNs into the loss and poisons Adam permanently — seen at 1M
+    # scale when the capacity policy was still growing its bucket)
     clamped = dataclasses.replace(full, grad_capacity=max(need - 512, 128))
     out_c = rasterizer.render(means, cov, op, ev, clamped, bg, colors_precomp=colors)
     assert int(out_c["grad_overflow"]) > 0
+    img_c = np.asarray(out_c["render"])
+    assert np.isfinite(img_c).all()
+    # the LAST tile rows must be pure background (bg broadcast)
+    assert np.allclose(img_c[:, -8:, -16:], np.asarray(bg)[:, None, None])
+
+    def loss_c(m, c, o, col):
+        return (
+            rasterizer.render(m, c, o, ev, clamped, bg, colors_precomp=col)[
+                "render"
+            ]
+            ** 2
+        ).sum()
+
+    g_c = jax.grad(loss_c, argnums=(0, 1, 2, 3))(means, cov, op, colors)
+    for g in g_c:
+        assert np.isfinite(np.asarray(g)).all()
