@@ -182,9 +182,15 @@ def main():
             if free < max(4096, n_act // 4):
                 state = trainer.grow_capacity(state, state.scene.capacity * 2)
                 grew += 1
-            thr = 20.0 if it > reset_every else None
+            # screen-size pruning stays DISABLED here: the reference's
+            # hardcoded 20px threshold (train.py:164) assumes a 30k-step
+            # schedule where splats have shrunk before it arms; under this
+            # compressed 2000-step schedule it pruned 70% of a 1M scene in
+            # one sweep (measured run in git history). Its behavior incl.
+            # recovery is demonstrated on the reference cadence by the
+            # synth512 convergence run (RESULTS.md curve, epochs 111-185).
             state, dropped = trainer.densify_step(
-                state, 4.0, opt, max_screen_size=thr
+                state, 4.0, opt, max_screen_size=None
             )
         if it > 0 and it % reset_every == 0 and it < densify_until:
             state = trainer.reset_opacity_step(state)
