@@ -87,7 +87,12 @@ def mean_knn_sq_dist(xyz: jax.Array, k: int = 3, chunk: int = 4096) -> jax.Array
 # exact pairwise kNN materializes a (chunk, N) block — past this point the
 # block alone outgrows HBM (4096 x 5M f32 = 82 GB) and the Morton-window
 # approximation takes over
-EXACT_KNN_MAX_POINTS = 1_500_000
+# exact-path ceiling: the blockwise distance computation materializes a
+# (4096, N) f32 operand — 16 GB of HBM is the binding constraint, not
+# accuracy. 600k => 9.8 GB peak block; above it the Morton-window
+# approximation takes over. (Was 1.5M, which OOMed at exactly 1.5M points
+# with a 24 GB block — caught by tools/clamp_probe.py.)
+EXACT_KNN_MAX_POINTS = 600_000
 
 
 def mean_knn_sq_dist_large(

@@ -18,9 +18,11 @@ import os as _os
 # derives from these two constants).
 TILE_X = int(_os.environ.get("C3DGS_TILE_X", 32))  # pixels per tile, x
 TILE_Y = int(_os.environ.get("C3DGS_TILE_Y", 16))  # pixels per tile, y
-# binning slot-domain ceiling: sentinel positions pack into 24 bits and
-# presort slots must be exact in f32 (render/binning.py) — 16.7M instances,
-# enough for ~5M-gaussian scenes at trained tile fanouts
+# binning slot-domain ceiling: presort slots ride f32 staged-field rows
+# and must be exactly representable (2^24; render/binning.py). 16.7M
+# instances — enough for ~5M-gaussian scenes at trained tile fanouts.
+# (The former second constraint — bit-24 packing in the sentinel
+# compaction sort — disappeared when that sort folded into the perm sort.)
 MAX_BINNING_CAP = (1 << 24) - (1 << 20)
 
 

@@ -215,16 +215,17 @@ def main():
     ev = evs[0]
     gt = gts[0]
     probe = jax.jit(
-        lambda: trainer.render_scene(
-            scene_t, ev, capacity.apply(settings), bg
-        )["num_instances"]
-    )()
+        lambda sc: trainer.render_scene(
+            sc, ev, capacity.apply(settings), bg
+        )["num_instances"],
+        static_argnums=(),
+    )(scene_t)
     true_inst = int(probe)
     full_set = CapacityPolicy(initial=int(true_inst * 1.12)).apply(settings)
     exact = jax.device_get(
         jax.jit(
-            lambda: trainer.render_scene(scene_t, ev, full_set, bg)["render"]
-        )()
+            lambda sc: trainer.render_scene(sc, ev, full_set, bg)["render"]
+        )(scene_t)
     )
     clamp_rows = []
     for frac in (0.95, 0.85, 0.70, 0.50):
@@ -233,8 +234,8 @@ def main():
         cap_c = int(true_inst * frac) // 128 * 128
         st_c = dataclasses.replace(full_set, instance_capacity=cap_c)
         out = jax.jit(
-            lambda st_c=st_c: trainer.render_scene(scene_t, ev, st_c, bg)
-        )()
+            lambda sc, st_c=st_c: trainer.render_scene(sc, ev, st_c, bg)
+        )(scene_t)
         img = jax.device_get(out["render"])
         mse = float(np.mean((img - exact) ** 2))
         psnr_c = 10 * math.log10(1.0 / max(mse, 1e-12))
