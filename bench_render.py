@@ -71,21 +71,23 @@ def main():
 
     iters = int(os.environ.get("C3DGS_BENCH_ITERS", 50))
     for name, sc in (("dense", scene), ("indexed", indexed)):
+        # the scene rides as an ARGUMENT: closure constants of multi-million
+        # row scenes exceed the tunneled remote-compile body limit (HTTP 413)
         probe = jax.jit(
-            lambda sc=sc: trainer.render_scene(sc, ev, probe_settings, bg)[
+            lambda s: trainer.render_scene(s, ev, probe_settings, bg)[
                 "num_instances"
             ]
-        )()
+        )(sc)
         st = CapacityPolicy(initial=int(int(probe) * 1.12)).apply(settings)
 
         fn = jax.jit(
-            lambda e, sc=sc, st=st: trainer.render_scene(sc, e, st, bg)["render"]
+            lambda s, e, st=st: trainer.render_scene(s, e, st, bg)["render"]
         )
-        img = fn(ev)
+        img = fn(sc, ev)
         float(jnp.sum(img))  # force through the tunnel
         t0 = time.perf_counter()
         for _ in range(iters):
-            img = fn(ev)
+            img = fn(sc, ev)
         float(jnp.sum(img))
         ms = (time.perf_counter() - t0) / iters * 1000.0
         print(
