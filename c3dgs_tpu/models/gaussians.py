@@ -161,8 +161,24 @@ class GaussianScene(flax.struct.PyTreeNode):
         f = self.get_features_raw()
         return f[self.feature_indices] if self.is_color_indexed else f
 
+    def _gathered_shape(self):
+        """(P,3) normalized scale + (P,4) quat for an indexed scene via ONE
+        packed (G,7) row gather — row gathers cost per ROW, not per width,
+        so separate scaling/rotation gathers paid twice
+        (docs/PERF.md TPU lowering lesson #4)."""
+        packed = jnp.concatenate(
+            [self.get_scaling_normalized(), self.get_rotation_raw()], axis=1
+        )
+        rows = jax.lax.optimization_barrier(packed[self.gaussian_indices])
+        return rows[:, :3], rows[:, 3:]
+
     def get_covariance(self, scaling_modifier: float = 1.0) -> jax.Array:
         """(P,6) upper-triangle world covariance (gaussian_model.py:269)."""
+        if self.is_gaussian_indexed:
+            s, r = self._gathered_shape()
+            if self.scaling_factor is not None:
+                s = self.get_scaling_factor() * s
+            return quat.cov6_from_scaling_rotation(scaling_modifier * s, r)
         return quat.cov6_from_scaling_rotation(
             scaling_modifier * self.get_scaling(), self.get_rotation()
         )
@@ -170,9 +186,10 @@ class GaussianScene(flax.struct.PyTreeNode):
     def get_normalized_covariance(self, scaling_modifier: float = 1.0) -> jax.Array:
         """(P,6) covariance of the *normalized* scale (gaussian_model.py:274)
         — the well-posed input for covariance VQ."""
-        s = self.get_scaling_normalized()
         if self.is_gaussian_indexed:
-            s = s[self.gaussian_indices]
+            s, r = self._gathered_shape()
+            return quat.cov6_from_scaling_rotation(scaling_modifier * s, r)
+        s = self.get_scaling_normalized()
         return quat.cov6_from_scaling_rotation(
             scaling_modifier * s, self.get_rotation()
         )
