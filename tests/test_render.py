@@ -449,3 +449,42 @@ def test_packed_execution_capacity_exact_and_counted():
     g_c = jax.grad(loss_c, argnums=(0, 1, 2, 3))(means, cov, op, colors)
     for g in g_c:
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_blocked_indexed_colors_gradients_match_dense():
+    """Gradients through the blocked codebook-color path (lax.map VJP +
+    per-block scatter-add into the codebook) must match the dense
+    de-index path — QAT finetune at >= 2^20 splats rides it."""
+    from c3dgs_tpu.models import gaussians as gmod
+    from c3dgs_tpu.train import trainer
+
+    rng = np.random.default_rng(9)
+    n, c = 120, 13
+    pts = rng.normal(size=(n, 3)).astype(np.float32) * 0.6
+    pts[:, 2] += 3.5
+    cols = rng.random(size=(n, 3)).astype(np.float32)
+    base = gmod.from_point_cloud(pts, cols, capacity=n, quantization=False)
+    codebook = (rng.normal(size=(c, 16, 3)) * 0.3).astype(np.float32)
+    idx = rng.integers(0, c, size=n).astype(np.int32)
+    scene = base.set_color_indexed(
+        jnp.asarray(codebook), jnp.asarray(idx)
+    ).replace(active_sh_degree=3)
+    ev = jnp.asarray([0, 0, 0, 1, 0, 0, 0], jnp.float32)
+    bg = jnp.zeros(3)
+    st = dataclasses.replace(SETTINGS, sh_degree=3)
+
+    def loss(fdc, frest, blocked):
+        s = scene.replace(features_dc=fdc, features_rest=frest)
+        out = trainer.render_scene(s, ev, st, bg, blocked_colors=blocked)
+        return (out["render"] ** 2).sum()
+
+    g_dense = jax.grad(loss, argnums=(0, 1))(
+        scene.features_dc, scene.features_rest, False
+    )
+    g_block = jax.grad(loss, argnums=(0, 1))(
+        scene.features_dc, scene.features_rest, True
+    )
+    for a, b in zip(g_dense, g_block):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(b).max() > 0  # gradients actually reach the codebook
+        np.testing.assert_allclose(b, a, atol=1e-5)
