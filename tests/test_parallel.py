@@ -124,3 +124,24 @@ def test_mesh_shapes():
     assert m.shape == {"dp": 4, "tiles": 2}
     m2 = make_mesh(tiles=8)
     assert m2.shape["dp"] == 1
+
+
+def test_routed_local_cap_geometry():
+    """Static routing geometry invariants for assorted (cap, D, T): the
+    local array always fits every pair budget + owned sentinels, is
+    CHUNK-aligned, and budgets cover the balanced load with 2x headroom."""
+    from c3dgs_tpu.render.binning import CHUNK, routed_local_cap
+
+    for cap, d, t in [
+        (1024, 8, 4), (1024, 4, 4), (1 << 21, 8, 4080), (640, 4, 4),
+        (1 << 17, 2, 512), (1 << 19, 8, 2040), (128 * 6, 2, 3),
+    ]:
+        if cap % d:
+            continue
+        cap_pair, t_local, cap_local = routed_local_cap(cap, d, t)
+        assert cap_local % CHUNK == 0
+        assert cap_local >= d * cap_pair + t_local
+        assert t_local * d >= t  # ownership covers the tile grid
+        # 2x headroom over the balanced per-pair load
+        dests = max(1, min(d, t))
+        assert cap_pair * dests >= 2 * (cap // d)
