@@ -147,6 +147,35 @@ def main():
     # self-describing result: the opacity-statistics mode changes the
     # workload (ADVICE r2) — record it so BENCH_r* files are comparable
     opacity_mode = os.environ.get("C3DGS_BENCH_OPACITY", "trained")
+
+    # ---- measured speed-of-light floor for THIS frame's workload
+    # (VERDICT r3 #4/#5: the 28 ms vs_baseline denominator is a folklore
+    # CUDA-class envelope that cannot be measured here; the honest anchor
+    # is the per-stage floor model of docs/PERF.md, instantiated with the
+    # frame's own instance/pair counts so every BENCH_r* carries it):
+    #   pair_math: executed (pixel, instance) pairs x ~45 VPU ops fwd+bwd
+    #     at 0.96 Top/s effective VPU throughput (measured op-mix rate);
+    #   row_ops: every row-level gather in the frame (stage cap rows +
+    #     enumeration cap + reduce 2x exec rows) at the measured ~6 ns/row
+    #     random row-gather rate;
+    #   sorts: the binning/reduce packed sorts at the measured ~1 ms per
+    #     1M rows.
+    from c3dgs_tpu.render.binning import CHUNK as _CHUNK
+    from c3dgs_tpu.render.tiles import PIX as _PIX
+
+    cap_rows = settings.instance_capacity
+    exec_rows = settings.grad_capacity or cap_rows
+    pairs = exec_rows * _PIX
+    floor_pair = pairs * 45 / 0.96e12 * 1e3
+    floor_rows = (2 * cap_rows + 2 * exec_rows) * 6e-9 * 1e3
+    floor_sorts = 3 * cap_rows / 1e6 * 1.0
+    floor = {
+        "pair_math": round(floor_pair, 1),
+        "row_ops": round(floor_rows, 1),
+        "sorts": round(floor_sorts, 1),
+        "total": round(floor_pair + floor_rows + floor_sorts, 1),
+    }
+
     print(
         json.dumps(
             {
@@ -155,6 +184,8 @@ def main():
                 "unit": "ms",
                 "vs_baseline": round(baseline_ms / ms, 3),
                 "opacity_mode": opacity_mode,
+                "floor_ms": floor,
+                "vs_floor": round(floor["total"] / ms, 3),
             }
         )
     )

@@ -1,11 +1,20 @@
-"""Compressed .npz container, byte-compatible with the reference's
-save_npz/load_npz (scene/gaussian_model.py:505-740):
+"""Compressed .npz container modeled on the reference's save_npz/load_npz
+(scene/gaussian_model.py:505-740):
 
 quantized layout — fp16 xyz; int8 `int_repr` + (scale, zero_point) for
 features_dc/features_rest (raw), opacity (post-sigmoid), scaling
 (post-normalize), scaling_factor (pre-exp log value), rotation
-(post-normalize); int32 feature_indices / gaussian_indices when indexed;
+(post-normalize); feature_indices / gaussian_indices when indexed;
 bool `quantization` flag; np.savez_compressed.
+
+DOCUMENTED FORMAT DEVIATION (see PARITY.md): index arrays are written as
+uint16 whenever the codebook fits in 2^16 rows (the default sizes always
+do) — the reference writes int32, and its loader runs
+torch.from_numpy(...).long() (gaussian_model.py:727-735), which only
+accepts uint16 numpy arrays from torch 2.3 on. Pass
+`int32_indices=True` (or set C3DGS_NPZ_INT32_INDICES=1) to emit the
+reference's int32 layout for cross-loading into older torch stacks; our
+own load_npz reads either.
 
 Unquantized layout — plain float arrays under the same keys.
 """
@@ -33,6 +42,7 @@ def save_npz(
     compress: bool = True,
     half_precision: bool = False,
     sort_morton: bool = False,
+    int32_indices: bool | None = None,
 ) -> gmod.GaussianScene:
     """Serialize. Returns the (possibly Morton-reordered) scene, mirroring
     the reference's in-place sort side effect (gaussian_model.py:513-514)."""
@@ -83,13 +93,18 @@ def save_npz(
             d["scaling_factor"] = np.asarray(scene.scaling_factor).astype(dtype)
         d["rotation"] = np.asarray(scene.rotation).astype(dtype)
 
+    if int32_indices is None:
+        int32_indices = bool(os.environ.get("C3DGS_NPZ_INT32_INDICES"))
+
     def _idx_dtype(rows: int):
         # smallest unsigned dtype that addresses the codebook: the index
         # arrays dominate the container at default codebook sizes (2 x
         # int32 was 8 B/splat against ~8 B for everything else combined;
-        # uint16 halves them). load_npz astypes to int32, and the
-        # reference's loader tensorizes whatever dtype numpy hands it
-        # (gaussian_model.py:625-740), so the container stays readable.
+        # uint16 halves them). Our load_npz astypes to int32 either way;
+        # int32_indices restores the reference's exact layout for its
+        # torch<2.3 loaders (module docstring + PARITY.md).
+        if int32_indices:
+            return np.int32
         return np.uint16 if rows <= (1 << 16) else np.int32
 
     if scene.is_color_indexed:

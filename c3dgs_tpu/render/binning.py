@@ -44,7 +44,12 @@ from .preprocess import Preprocessed
 from .types import TILE_X, TILE_Y, RasterSettings
 
 CHUNK = 128  # gaussians per kernel inner step; chunk/grad alignment
-NUM_FIELDS = 16  # instance field rows (11 used, padded for lane alignment)
+NUM_FIELDS = 16  # instance field rows (11 used). 12 was tried (round 4)
+# to cut staged/grad DMA bytes 25%, but Mosaic requires HBM<->VMEM slice
+# shapes 8-aligned in the sublane dim ("Slice shape along dimension 0 must
+# be aligned to tiling (8), but is 12"), and an 8+4 split array hits the
+# same wall on the 4-row half while 8+8 restores the original byte count
+# with MORE descriptors. 16 stands until the row set itself shrinks to 8.
 NUM_USED_FIELDS = 9  # x, y, conic(3), opacity, rgb(3)
 PRESORT_ROW = 9  # field row carrying the pre-sort slot (exact in f32)
 OFFSET_ROW = 10  # table column carrying each gaussian's first emission slot
@@ -525,7 +530,17 @@ def bin_gaussians_routed(
 
     cap_l = cap // shard_num
     d = jax.lax.axis_index(shard_axis)
-    slots = d * cap_l + jnp.arange(cap_l, dtype=jnp.int32)
+    # INTERLEAVED slot slice (ADVICE r3): emission slots follow gaussian
+    # order, which is spatially coherent after the save-time Morton sort —
+    # a CONTIGUOUS cap/D block then concentrates into one or two owner
+    # devices and chronically overflows the per-(src,dst) routing budget.
+    # Striding by D makes every device's slice a uniform sample of the
+    # emission order, restoring the even-spread assumption cap_pair is
+    # sized for (2x headroom over cap_l/min(D,T)). Slots stay strictly
+    # ascending, which _enumerate_slots requires (rank pass + sorted row
+    # gather); the final per-tile order is unchanged — it is the total
+    # (key, payload) order, independent of which device enumerated a slot.
+    slots = d + jnp.arange(cap_l, dtype=jnp.int32) * shard_num
     key, pj = _enumerate_slots(g_table, cum, total, slots, n, settings)
 
     # ---- 2. local sort: ascending tiles partition the rows by destination

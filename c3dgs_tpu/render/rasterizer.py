@@ -151,12 +151,38 @@ def _blend_backward_call_packed(
         ],
         axis=1,
     )
+
+    # ---- chunk compaction: an executed chunk with no flush whose open
+    # tile is already frozen (saturated) is a whole-chunk no-op — the old
+    # in-kernel skip branch still paid its grid iteration, fields DMA,
+    # head-block DMA and grad write. Compute the skip set HERE (it is a
+    # pure function of tile_lo + the forward's exported freeze slots, out
+    # row 5) and hand the kernel a descending list of ACTIVE chunks only.
+    # Trained scenes saturate early, so this trims a large slice of the
+    # backward grid exactly where the trained workload is slowest.
+    nc = cap // CHUNK
+    ci = jnp.arange(nc, dtype=jnp.int32)
+    ng_c = tile_lo[1:] - tile_lo[:-1]
+    frz_t = totals[:, 5, 0]  # (t_out,) freeze start slot per LOCAL tile
+    open_loc = jnp.clip(tile_lo[:-1] - meta[1], 0, num_tiles - 1)
+    frz_open = _ob(frz_t[:, None][open_loc])[:, 0]
+    active = (ci < meta[0]) & (
+        (ng_c > 0) | ((ci * CHUNK).astype(jnp.float32) < frz_open)
+    )
+    n_active = jnp.sum(active.astype(jnp.int32))
+    # descending compaction: active chunks first, by descending chunk id;
+    # inactive entries keep their (in-bounds) chunk id for safe prefetch
+    sort_key = jnp.where(active, (nc - 1) - ci, nc + ci)
+    _, chunk_map = jax.lax.sort((sort_key, ci), num_keys=2, is_stable=False)
+    meta_b = jnp.stack([n_active, meta[1], meta[2], meta[3]])
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(cap // CHUNK,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # fields
             pl.BlockSpec(memory_space=pltpu.ANY),  # tg blocks
+            pl.BlockSpec(memory_space=pltpu.ANY),  # zero-init grads
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
@@ -173,13 +199,18 @@ def _blend_backward_call_packed(
             pltpu.SemaphoreType.DMA((2,)),  # grad writes
         ],
     )
+    # skipped chunks' grad rows must read as zeros in the reducers: alias a
+    # zero buffer into the output (flattened input index 5 = after the 3
+    # scalar-prefetch operands + fields + tg)
+    zeros_grads = jnp.zeros((NUM_FIELDS, cap), jnp.float32)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NUM_FIELDS, cap), jnp.float32),
         interpret=tiles.interpret_mode(),
+        input_output_aliases={5: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_lo, meta, fields, tg)
+    )(tile_lo, chunk_map, meta_b, fields, tg, zeros_grads)
 
 
 def _segment_prefix_diff(d_pre, end_idx, valid, compensated: bool):

@@ -11,7 +11,7 @@ itself runs on the MXU*:
                      -> (PIX,128) @ strictly-triangular ones (128,128) matmul
   color          C  += (alpha * T * live) (PIX,128) @ colors (128,3)
 
-Instance data is staged (NUM_FIELDS=16, cap) lane-major in HBM in sorted
+Instance data is staged (NUM_FIELDS, cap) lane-major in HBM in sorted
 UNPADDED order. Each loop iteration assembles a SHIFTED WINDOW of CHUNK
 real instances from the two aligned chunks that cover it (one dynamic lane
 roll — see _window), so per-instance kernel cost never pays for tile

@@ -300,29 +300,42 @@ def forward_kernel(
             def _():
                 frz[0] = -1
 
-    # drain the flush ring at the very end (the last two tiles' DMAs,
-    # local indices)
+    # drain the flush ring at the very end: wait only for tiles that
+    # actually FLUSHED (ADVICE r3 — keying on tile count alone deadlocks
+    # when an exec-cap clamp leaves trailing tiles unflushed: fewer out-DMAs
+    # were ever started than tiles exist). tile_lo[nchunks] = first
+    # unflushed tile after the last executed chunk.
     @pl.when(c == pl.num_programs(0) - 1)
     def _():
-        n_loc = tile_end - tile_start
+        n_flushed = (
+            jnp.clip(tile_lo_ref[nchunks], tile_start, tile_end) - tile_start
+        )
 
-        @pl.when(n_loc >= 2)
+        @pl.when(n_flushed >= 2)
         def _():
-            out_dma((n_loc - 2) % 2, n_loc - 2).wait()
+            out_dma((n_flushed - 2) % 2, n_flushed - 2).wait()
 
-        @pl.when(n_loc >= 1)
+        @pl.when(n_flushed >= 1)
         def _():
-            out_dma((n_loc - 1) % 2, n_loc - 1).wait()
+            out_dma((n_flushed - 1) % 2, n_flushed - 1).wait()
 
 
 def backward_kernel(
     tile_lo_ref,
-    meta_ref,  # (4,) int32: [chunks_exec, tile_start, tile_end, cap]
+    chunk_map_ref,  # (nc,) int32 ACTIVE chunk ids in descending order
+    # (XLA precomputes which executed chunks are frozen whole-chunk skips —
+    # ng == 0 and past the open tile's freeze slot — and compacts them out;
+    # entries past meta[0] are the inactive chunks, kept in-bounds so
+    # speculative reads stay safe). Grad rows of skipped chunks are never
+    # written: the grads output is zero-initialized via input aliasing.
+    meta_ref,  # (4,) int32: [n_active_chunks, tile_start, tile_end, cap]
     fields_hbm,  # (NUM_FIELDS, cap)
     tg_hbm,  # (T, TG_ROWS, PIX) SLIM tile blocks: only the 7 used
     # totals/cotangent rows (TG_* map at module top), padded to 8
     # sublanes. ONE array so each flush is ONE DMA (the VJP wrapper packs
     # totals and cotangent once per frame in XLA)
+    zeros_hbm,  # (NUM_FIELDS, cap) zero buffer ALIASED to grads_hbm —
+    # skipped chunks' grad rows stay zero; never read or written here
     grads_hbm,  # out (NUM_FIELDS, cap) per-slot grads
     fbuf,  # VMEM (2, NUM_FIELDS, CHUNK)
     tgbuf,  # VMEM (2, TG_ROWS, PIX) tile-block ring (groups >= 1)
@@ -364,11 +377,16 @@ def backward_kernel(
     transpose too, but Mosaic requires HBM<->VMEM copies to have
     128-aligned minor dims — TG_ROWS=8 is not DMA-able.)"""
     r = pl.program_id(0)
-    nchunks = meta_ref[0]
+    nchunks = meta_ref[0]  # = #active chunks (chunk-compacted walk)
     tile_start = meta_ref[1]
     tile_end = meta_ref[2]
     cap_i = meta_ref[3]
-    c = nchunks - 1 - r
+    # the walk visits only ACTIVE chunks, in descending chunk order; the
+    # carry handoff across a skipped (whole-chunk frozen) chunk is the
+    # identity, so hopping over it is exact (the old in-kernel skip branch
+    # passed carries through unchanged and wrote zero grad rows — those
+    # rows now stay at their zero-initialized value instead)
+    c = chunk_map_ref[r]
     max_chunk = pl.num_programs(0) - 1
 
     def dma(slot, i):
@@ -417,22 +435,24 @@ def backward_kernel(
 
         @pl.when(nchunks >= 2)
         def _():
-            dma(1, c - 1).start()
+            dma(1, chunk_map_ref[1]).start()
 
         # head prefetch for THIS first chunk (nobody ran before r=0):
-        # UNCONDITIONAL with a clamped tile index — every chunk body waits
-        # the head semaphore exactly once, so every parity must be started
-        # exactly once (branch-free head protocol, see the body)
+        # gated by the same ng >= 1 predicate its wait uses (conditional
+        # head protocol, see the body)
         @pl.when(nchunks >= 1)
         def _():
-            _, lo0 = head_ng(c)
-            htg_dma(0, jnp.clip(lo0, tile_start, tile_end - 1)).start()
+            ng0, lo0 = head_ng(c)
+
+            @pl.when(ng0 >= 1)
+            def _():
+                htg_dma(0, jnp.clip(lo0, tile_start, tile_end - 1)).start()
 
     @pl.when(r < nchunks)
     def _body():
         @pl.when((r + 2 <= nchunks) & (r > 0))
         def _():
-            dma((r + 1) % 2, c - 1).start()
+            dma((r + 1) % 2, chunk_map_ref[r + 1]).start()
 
         lo = jnp.maximum(tile_lo_ref[c], tile_start)
         hi = jnp.minimum(tile_lo_ref[c + 1], tile_end)
@@ -440,29 +460,32 @@ def backward_kernel(
         if probe == "noflush":
             ng = ng * 0
         slot0 = c * CHUNK
-        # freeze state of the open tile rides its freeze column
+        # freeze state of the open tile rides its freeze column (whole-chunk
+        # frozen skips never reach here — XLA compacted them out of
+        # chunk_map; partial freezes inside a flushing chunk are still
+        # dead-masked per lane via frz_l below)
         frz_open = tg_open[0, TG_FRZ]
-        frozen = (ng == 0) & (
-            jnp.float32(1.0) * slot0.astype(jnp.float32) >= frz_open
-        )
-        if probe == "noflush":
-            frozen = frozen & (slot0 < 0)
 
-        # head prefetch for the NEXT chunk (c-1): UNCONDITIONAL (clamped
-        # tile index), in flight a full chunk iteration before its wait.
-        # The flush protocol is BRANCH-FREE for the dominant ng <= 1 case:
-        # the per-flush lax.cond + nested pl.whens of the round-2 loop cost
-        # ~8 ms/frame of pure control (the noflush strip probe's delta was
-        # unchanged by halving the block bytes), so the head (group-0)
-        # block is now always DMA'd, always transposed, and its
-        # contribution masked by ng >= 1; only deeper groups (~13% of
-        # chunks) take the conditional ring loop.
+        # head prefetch for the NEXT chunk: in flight a full chunk
+        # iteration before its wait, but CONDITIONAL on that chunk actually
+        # flushing (round 4): a no-flush chunk's head contribution is zero
+        # by construction (mg0 = 0 and the NaN gate zeroes tgT0), so its
+        # DMA, wait, and (TG_ROWS, PIX) -> (PIX, TG_ROWS) relayout are pure
+        # waste — and ~87% of chunks don't flush. Start/wait pairing stays
+        # deterministic because both sides are gated by the SAME
+        # ng >= 1 predicate of the same chunk (head_ng is a pure function
+        # of tile_lo). This differs from the round-2 conditional scheme
+        # (distance-0 prefetch that stalled) and the round-3 branch-free
+        # scheme (early but unconditional): early AND conditional.
         @pl.when(r + 1 < nchunks)
         def _():
-            _, lo_n = head_ng(c - 1)
-            htg_dma(
-                (r + 1) % 2, jnp.clip(lo_n, tile_start, tile_end - 1)
-            ).start()
+            ng_n, lo_n = head_ng(chunk_map_ref[r + 1])
+
+            @pl.when(ng_n >= 1)
+            def _():
+                htg_dma(
+                    (r + 1) % 2, jnp.clip(lo_n, tile_start, tile_end - 1)
+                ).start()
 
         # on-demand ring start for group 1 (group 0 rides the head buffer)
         @pl.when(ng >= 2)
@@ -502,9 +525,21 @@ def backward_kernel(
         # wait always balances; the ONE lane->sublane relayout per chunk
         # (an MXU identity-matmul transpose measured slower, and exactness
         # forbids its bf16 input truncation anyway).
-        htg_dma(r % 2, jnp.clip(lo, tile_start, tile_end - 1)).wait()
-        tgT0 = htgbuf[r % 2].T  # (PIX, TG_ROWS)
-        mg0 = jnp.where(ng >= 1, (grp == 0.0).astype(jnp.float32), 0.0)
+        # NaN note (ADVICE r3): the head block is only ever read for flush
+        # chunks (ng >= 1), whose head tile lo genuinely flushed (its
+        # sentinel lies inside this executed chunk) — so no uninitialized
+        # HBM can reach the arithmetic even on clamped frames; no-flush
+        # chunks take the zero branch without any DMA.
+        def _head_read():
+            htg_dma(r % 2, jnp.clip(lo, tile_start, tile_end - 1)).wait()
+            return htgbuf[r % 2].T  # the ONE (TG_ROWS, PIX) relayout
+
+        tgT0 = jax.lax.cond(
+            ng >= 1,
+            _head_read,
+            lambda: jnp.zeros((PIX, TG_ROWS), jnp.float32),
+        )
+        mg0 = (grp == 0.0).astype(jnp.float32)
         gc0 = gc0 + tgT0[:, TG_GC + 0 : TG_GC + 1] * mg0
         gc1 = gc1 + tgT0[:, TG_GC + 1 : TG_GC + 2] * mg0
         gc2 = gc2 + tgT0[:, TG_GC + 2 : TG_GC + 3] * mg0
@@ -612,8 +647,7 @@ def backward_kernel(
 
             if probe == "stash":  # debug: export walk internals (pixel 0)
                 dbg = [lte[0:1, :], pre[0:1, :], frz_l * jnp.ones((1, CHUNK)),
-                       suf_in[0:1, :], wgt[0:1, :],
-                       jnp.zeros((NUM_FIELDS - 14, CHUNK), jnp.float32)]
+                       jnp.zeros((NUM_FIELDS - 12, CHUNK), jnp.float32)]
             else:
                 # row PRESORT_ROW: the lane's pre-sort slot (staged in
                 # fields row OFFSET_ROW; cap_total on dead lanes) — lets a
@@ -642,29 +676,23 @@ def backward_kernel(
             new_lt = pre[:, 0:1]
             return gout_rows, new_s, new_lt
 
-        def skip():
-            # zero grads, but the PRESORT row must still carry the real
-            # keys: an all-zero row would enter the partial reducer as
-            # presort slot 0, shifting every gaussian's rank boundary
-            # (frozen chunks are common under tile sharding, where foreign
-            # chunks have ng clamped to 0)
-            zrows = jnp.concatenate(
-                [
-                    jnp.zeros((9, CHUNK), jnp.float32),
-                    f[OFFSET_FIELD_ROW : OFFSET_FIELD_ROW + 1, :],
-                    jnp.zeros((NUM_FIELDS - 10, CHUNK), jnp.float32),
-                ],
-                axis=0,
-            )
-            return (zrows, s_carry[...], lt_carry[...])
-
-        gout_rows, new_s, new_lt = jax.lax.cond(frozen, skip, compute)
+        # no skip branch: whole-chunk frozen skips were compacted out of
+        # chunk_map by the caller, and their grad rows stay at the
+        # zero-initialized output value. (Zero rows carry presort key 0 —
+        # harmless in BOTH reducers: the perm reducer selects rows by
+        # position and masks, and in the partial reducer zero-VALUE rows
+        # sorting to the front shift every rank boundary uniformly without
+        # changing any prefix difference.)
+        gout_rows, new_s, new_lt = compute()
         s_carry[...] = new_s
         lt_carry[...] = new_lt
 
         @pl.when(r >= 2)
         def _():
-            w_dma(r % 2, c + 2).wait()
+            # waits the copy started two iterations ago (same parity slot;
+            # all w_dma copies are byte-identical, the index only rebuilds
+            # the descriptor)
+            w_dma(r % 2, chunk_map_ref[r - 2]).wait()
 
         wbuf[r % 2] = gout_rows
         w_dma(r % 2, c).start()

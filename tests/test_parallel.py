@@ -71,6 +71,37 @@ def test_tile_skew_trips_truncation_counter():
     assert int(diag["shard_route_dropped"]) > 0
 
 
+def test_morton_coherent_source_does_not_drop():
+    """ADVICE r3: emission slots follow gaussian order, which is spatially
+    coherent after a Morton sort — with CONTIGUOUS per-device slot blocks,
+    each source slice concentrated into one destination device and
+    chronically overflowed the per-(src,dst) budget. The interleaved slot
+    slices sample the emission order uniformly, so a spread-out,
+    spatially-SORTED scene at tight capacity must route with zero drops."""
+    import dataclasses
+
+    n, cap = 600, 1280
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(-0.8, 0.8, size=(n, 3)).astype(np.float32)
+    pts[:, 2] = 3.0 + pts[:, 2] * 0.05
+    # spatial sort => gaussian order is tile-coherent (the adversarial
+    # layout for contiguous slot blocks)
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+    cols = rng.random(size=(n, 3)).astype(np.float32)
+    scene = gmod.from_point_cloud(pts, cols, capacity=n, quantization=False)
+    settings = dataclasses.replace(SET, instance_capacity=cap)
+    out = trainer.render_scene(scene, EV, settings, BG)
+    assert int(out["overflow"]) == 0
+    mesh = make_mesh(dp=2, tiles=4)
+    img_sharded, diag = render_tile_sharded(
+        scene, EV, settings, BG, mesh, return_diag=True
+    )
+    assert int(diag["shard_route_dropped"]) == 0
+    img_single = np.asarray(trainer.render_scene(scene, EV, settings, BG)["render"])
+    np.testing.assert_allclose(np.asarray(img_sharded), img_single, atol=1e-5)
+
+
 def test_hybrid_train_step_runs_and_matches():
     scene = toy_scene()
     opt = OptimizationParams()
