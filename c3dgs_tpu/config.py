@@ -145,6 +145,14 @@ class CompressionParams(ParamGroup):
 
     finetune_iterations: int = 5000
 
+    # container extension (not in the reference): fixed-point uint16 xyz
+    # instead of fp16 — same raw bytes, but Morton-ordered fixed-point
+    # values DEFLATE far better than fp16 bit patterns, and the u16 step
+    # (extent/65535) sits below the fp16 grid the QAT accessor already
+    # rounds to, so quality is unchanged. xyz_fp16 restores the
+    # reference's exact fp16 layout (models/io_npz.py, PARITY.md).
+    xyz_fp16: bool = False
+
 
 @dataclasses.dataclass(frozen=True)
 class OptimizationParams(ParamGroup):

@@ -7,14 +7,19 @@ features_dc/features_rest (raw), opacity (post-sigmoid), scaling
 (post-normalize); feature_indices / gaussian_indices when indexed;
 bool `quantization` flag; np.savez_compressed.
 
-DOCUMENTED FORMAT DEVIATION (see PARITY.md): index arrays are written as
-uint16 whenever the codebook fits in 2^16 rows (the default sizes always
-do) — the reference writes int32, and its loader runs
-torch.from_numpy(...).long() (gaussian_model.py:727-735), which only
-accepts uint16 numpy arrays from torch 2.3 on. Pass
-`int32_indices=True` (or set C3DGS_NPZ_INT32_INDICES=1) to emit the
-reference's int32 layout for cross-loading into older torch stacks; our
-own load_npz reads either.
+DOCUMENTED FORMAT DEVIATIONS (see PARITY.md):
+1. Index arrays are written as uint16 whenever the codebook fits in 2^16
+   rows (the default sizes always do) — the reference writes int32, and
+   its loader runs torch.from_numpy(...).long()
+   (gaussian_model.py:727-735), which only accepts uint16 numpy arrays
+   from torch 2.3 on. Pass `int32_indices=True` (or set
+   C3DGS_NPZ_INT32_INDICES=1) to emit the reference's int32 layout for
+   cross-loading into older torch stacks; our own load_npz reads either.
+2. Optional fixed-point uint16 xyz (`xyz_u16=True`, the compress CLI's
+   default; `--xyz_fp16` restores the reference layout): per-axis
+   min/step header, step = extent/65535 — more precise than fp16 at scene
+   extents and smaller after DEFLATE. load_npz dispatches on the stored
+   dtype.
 
 Unquantized layout — plain float arrays under the same keys.
 """
@@ -43,6 +48,7 @@ def save_npz(
     half_precision: bool = False,
     sort_morton: bool = False,
     int32_indices: bool | None = None,
+    xyz_u16: bool = False,
 ) -> gmod.GaussianScene:
     """Serialize. Returns the (possibly Morton-reordered) scene, mirroring
     the reference's in-place sort side effect (gaussian_model.py:513-514)."""
@@ -57,7 +63,24 @@ def save_npz(
     q = scene.quant
 
     if scene.quantization:
-        d["xyz"] = np.asarray(scene.get_xyz()).astype(np.float16)
+        if xyz_u16:
+            # container extension: fixed-point uint16 xyz (per-axis
+            # min/step header). Same 6 B/splat raw as fp16 but smaller
+            # after DEFLATE (Morton-ordered fixed-point values have far
+            # more byte-level coherence than fp16 bit patterns), and the
+            # u16 step (extent/65535) sits below the fp16 half-ulp the
+            # QAT accessor already rounds to — the accessor round-trips
+            # bit-exactly away from zero. load_npz dispatches on dtype.
+            xyz = np.asarray(scene.get_xyz()).astype(np.float32)
+            mn = xyz.min(axis=0)
+            step = np.maximum(xyz.max(axis=0) - mn, 1e-12) / 65535.0
+            d["xyz"] = np.clip(
+                np.round((xyz - mn) / step), 0, 65535
+            ).astype(np.uint16)
+            d["xyz_min"] = mn.astype(np.float32)
+            d["xyz_step"] = step.astype(np.float32)
+        else:
+            d["xyz"] = np.asarray(scene.get_xyz()).astype(np.float16)
         d["features_dc"], d["features_dc_scale"], d["features_dc_zero_point"] = _q(
             np.asarray(scene.features_dc), q.features_dc
         )
@@ -148,7 +171,10 @@ def load_npz(
     elif quantization != file_quant:
         print("WARNING: model is not quantisation aware but loaded model is")
 
-    xyz = d["xyz"].astype(np.float32)
+    if d["xyz"].dtype == np.uint16:  # fixed-point container extension
+        xyz = d["xyz"].astype(np.float32) * d["xyz_step"] + d["xyz_min"]
+    else:
+        xyz = d["xyz"].astype(np.float32)
     n = xyz.shape[0]
     qs = gmod.QuantState.create()
 

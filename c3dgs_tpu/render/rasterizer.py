@@ -151,6 +151,20 @@ def _blend_backward_call_packed(
         ],
         axis=1,
     )
+    # grouped PIX-major layout (tiles_packed.GROUP_TILES tiles per
+    # (PIX, 128) block): ONE XLA transpose replaces the kernel's ~1 per
+    # flush (TG_ROWS, PIX) -> (PIX, TG_ROWS) relayout, which measured
+    # 3.2 ms/frame on the 1080p bench (notranspose strip probe)
+    t_out = tg.shape[0]
+    gt = tiles_packed.GROUP_TILES
+    t_pad = -(-t_out // gt) * gt
+    if t_pad != t_out:
+        tg = jnp.pad(tg, ((0, t_pad - t_out), (0, 0), (0, 0)))
+    tg_g = (
+        tg.reshape(t_pad // gt, gt, tiles_packed.TG_ROWS, tiles.PIX)
+        .transpose(0, 3, 1, 2)
+        .reshape(t_pad // gt, tiles.PIX, gt * tiles_packed.TG_ROWS)
+    )
 
     # ---- chunk compaction: an executed chunk with no flush whose open
     # tile is already frozen (saturated) is a whole-chunk no-op — the old
@@ -187,15 +201,21 @@ def _blend_backward_call_packed(
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, NUM_FIELDS, CHUNK), jnp.float32),  # fbuf
-            pltpu.VMEM((2, tiles_packed.TG_ROWS, tiles.PIX), jnp.float32),
-            pltpu.VMEM((2, tiles_packed.TG_ROWS, tiles.PIX), jnp.float32),
+            pltpu.VMEM(
+                (
+                    tiles_packed.TG_NGROUPS,
+                    tiles.PIX,
+                    gt * tiles_packed.TG_ROWS,
+                ),
+                jnp.float32,
+            ),  # gbuf group ring
             pltpu.VMEM((tiles.PIX, tiles_packed.TG_ROWS), jnp.float32),
             pltpu.VMEM((2, NUM_FIELDS, CHUNK), jnp.float32),  # wbuf
             pltpu.VMEM((tiles.PIX, 1), jnp.float32),  # s_carry
             pltpu.VMEM((tiles.PIX, 1), jnp.float32),  # lt_carry
+            pltpu.SMEM((1,), jnp.int32),  # gstate
             pltpu.SemaphoreType.DMA((2,)),  # fields
-            pltpu.SemaphoreType.DMA((2,)),  # tg blocks
-            pltpu.SemaphoreType.DMA((2,)),  # head tg blocks
+            pltpu.SemaphoreType.DMA((tiles_packed.TG_NGROUPS,)),  # groups
             pltpu.SemaphoreType.DMA((2,)),  # grad writes
         ],
     )
@@ -210,7 +230,7 @@ def _blend_backward_call_packed(
         interpret=tiles.interpret_mode(),
         input_output_aliases={5: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_lo, chunk_map, meta_b, fields, tg, zeros_grads)
+    )(tile_lo, chunk_map, meta_b, fields, tg_g, zeros_grads)
 
 
 def _segment_prefix_diff(d_pre, end_idx, valid, compensated: bool):

@@ -77,6 +77,18 @@ TG_GC = 3  # rows 3..5: dL/dC
 TG_GT = 6  # dL/dT_final
 TG_ROWS = 8
 
+# grouped PIX-major tile-block layout (round 4): the per-flush
+# (TG_ROWS, PIX) -> (PIX, TG_ROWS) relayout measured 3.2 ms/frame on the
+# 1080p bench (notranspose strip probe), so the blocks are pre-transposed
+# ONCE in XLA and packed 16 tiles to a (PIX, 128) group — 128 lanes is the
+# minimum DMA-able minor dim, which is also why a single tile's (PIX, 8)
+# block cannot be DMA'd directly. The backward streams groups through a
+# VMEM ring; per-tile reads are one dynamic lane-roll + static slice.
+GROUP_TILES = 16  # tiles per (PIX, GROUP_TILES * TG_ROWS) group block
+TG_NGROUPS = 12  # resident ring: must exceed the widest single-chunk tile
+# span, ceil((CHUNK + 1) / GROUP_TILES) + 1 = 10 (a chunk flushes at most
+# CHUNK tiles — one sentinel per lane)
+
 
 def _local_pixel_coords():
     """Tile-local pixel x/y, (PIX, 1) f32 — lanes carry tile-local means, so
@@ -330,23 +342,22 @@ def backward_kernel(
     # written: the grads output is zero-initialized via input aliasing.
     meta_ref,  # (4,) int32: [n_active_chunks, tile_start, tile_end, cap]
     fields_hbm,  # (NUM_FIELDS, cap)
-    tg_hbm,  # (T, TG_ROWS, PIX) SLIM tile blocks: only the 7 used
-    # totals/cotangent rows (TG_* map at module top), padded to 8
-    # sublanes. ONE array so each flush is ONE DMA (the VJP wrapper packs
-    # totals and cotangent once per frame in XLA)
+    tg_hbm,  # (Tg, PIX, GROUP_TILES * TG_ROWS) SLIM tile blocks,
+    # pre-transposed PIX-major and packed GROUP_TILES per group (the VJP
+    # wrapper builds this layout once per frame in XLA); tile t's columns
+    # live in group t // GROUP_TILES at lanes (t % GROUP_TILES) * TG_ROWS
     zeros_hbm,  # (NUM_FIELDS, cap) zero buffer ALIASED to grads_hbm —
     # skipped chunks' grad rows stay zero; never read or written here
     grads_hbm,  # out (NUM_FIELDS, cap) per-slot grads
     fbuf,  # VMEM (2, NUM_FIELDS, CHUNK)
-    tgbuf,  # VMEM (2, TG_ROWS, PIX) tile-block ring (groups >= 1)
-    htgbuf,  # VMEM (2, TG_ROWS, PIX) group-0 block, parity head-prefetch
+    gbuf,  # VMEM (TG_NGROUPS, PIX, GROUP_TILES * TG_ROWS) group ring
     tg_open,  # VMEM (PIX, TG_ROWS) open tile's block, pre-transposed
     wbuf,  # VMEM (2, NUM_FIELDS, CHUNK) grad write ring
     s_carry,  # VMEM (PIX, 1) suffix carry of the open tile
     lt_carry,  # VMEM (PIX, 1) walked log-transmittance of the open tile
+    gstate,  # SMEM (1,) lowest group started+waited so far
     sems,  # DMA (2,) fields
-    tgsems,  # DMA (2,) tile blocks
-    htgsems,  # DMA (2,) head tile blocks
+    gsems,  # DMA (TG_NGROUPS,) group ring
     wsems,  # DMA (2,) grad writes
     *,
     fast_grad: bool,
@@ -397,16 +408,54 @@ def backward_kernel(
             sems.at[slot],
         )
 
-    def tg_dma(slot, t):
-        # tile blocks are indexed by LOCAL tile id under tile sharding
+    glanes = GROUP_TILES * TG_ROWS
+
+    def g_dma(g):
+        # group blocks are indexed by LOCAL tile id under tile sharding
         return pltpu.make_async_copy(
-            tg_hbm.at[t - tile_start], tgbuf.at[slot], tgsems.at[slot]
+            tg_hbm.at[g], gbuf.at[g % TG_NGROUPS], gsems.at[g % TG_NGROUPS]
         )
 
-    def htg_dma(slot, t):
-        return pltpu.make_async_copy(
-            tg_hbm.at[t - tile_start], htgbuf.at[slot], htgsems.at[slot]
-        )
+    def ensure_resident(target):
+        """Stream the group ring down so groups [target, target + 10] are
+        resident. Combined start+wait slide (descending): n <= TG_NGROUPS
+        distinct ring slots per slide, so no slot is double-started; a
+        jump farther than the ring skips the groups that would be
+        immediately overwritten (they are above the current chunk's read
+        span by construction)."""
+        gs = gstate[0]
+
+        @pl.when(gs > target)  # most flush chunks stay inside the window
+        def _():
+            n_eff = jnp.minimum(gs - target, TG_NGROUPS)
+            base = target + n_eff
+
+            def start(i, _):
+                g_dma(base - 1 - i).start()
+                return 0
+
+            def wait(i, _):
+                g_dma(base - 1 - i).wait()
+                return 0
+
+            jax.lax.fori_loop(0, n_eff, start, 0)
+            jax.lax.fori_loop(0, n_eff, wait, 0)
+            gstate[0] = target
+
+    def tile_cols(t):
+        """(PIX, TG_ROWS) columns of tile t (global id) from the resident
+        group ring: one dynamic lane-roll + static slice. (An MXU one-hot
+        extraction was tried — 2-pass hi/lo exact — and was both SLOWER
+        (the pass sits on the per-flush critical path, not hidden) and
+        NaN-unsafe: 0 x garbage from a group's unflushed tiles poisons the
+        matmul sum on clamped frames, where the roll merely selects.)"""
+        if probe == "nohead":
+            return jnp.zeros((PIX, TG_ROWS), jnp.float32)
+        lt = t - tile_start
+        blk = gbuf[(lt // GROUP_TILES) % TG_NGROUPS]
+        off = (lt % GROUP_TILES) * TG_ROWS
+        rolled = pltpu.roll(blk, (glanes - off) % glanes, axis=1)
+        return rolled[:, :TG_ROWS]
 
     def head_ng(i):
         """#flushed tiles of chunk i (clamped to this device's ownership)."""
@@ -432,21 +481,11 @@ def backward_kernel(
         # invalid lanes only; their staged opacity is 0)
         tg_open[...] = jnp.zeros((PIX, TG_ROWS), jnp.float32)
         dma(0, c).start()
+        gstate[0] = tg_hbm.shape[0]  # nothing resident yet
 
         @pl.when(nchunks >= 2)
         def _():
             dma(1, chunk_map_ref[1]).start()
-
-        # head prefetch for THIS first chunk (nobody ran before r=0):
-        # gated by the same ng >= 1 predicate its wait uses (conditional
-        # head protocol, see the body)
-        @pl.when(nchunks >= 1)
-        def _():
-            ng0, lo0 = head_ng(c)
-
-            @pl.when(ng0 >= 1)
-            def _():
-                htg_dma(0, jnp.clip(lo0, tile_start, tile_end - 1)).start()
 
     @pl.when(r < nchunks)
     def _body():
@@ -466,36 +505,6 @@ def backward_kernel(
         # dead-masked per lane via frz_l below)
         frz_open = tg_open[0, TG_FRZ]
 
-        # head prefetch for the NEXT chunk: in flight a full chunk
-        # iteration before its wait, but CONDITIONAL on that chunk actually
-        # flushing (round 4): a no-flush chunk's head contribution is zero
-        # by construction (mg0 = 0 and the NaN gate zeroes tgT0), so its
-        # DMA, wait, and (TG_ROWS, PIX) -> (PIX, TG_ROWS) relayout are pure
-        # waste — and ~87% of chunks don't flush. Start/wait pairing stays
-        # deterministic because both sides are gated by the SAME
-        # ng >= 1 predicate of the same chunk (head_ng is a pure function
-        # of tile_lo). This differs from the round-2 conditional scheme
-        # (distance-0 prefetch that stalled) and the round-3 branch-free
-        # scheme (early but unconditional): early AND conditional.
-        @pl.when(r + 1 < nchunks)
-        def _():
-            ng_n, lo_n = head_ng(chunk_map_ref[r + 1])
-
-            @pl.when(ng_n >= 1)
-            def _():
-                htg_dma(
-                    (r + 1) % 2, jnp.clip(lo_n, tile_start, tile_end - 1)
-                ).start()
-
-        # on-demand ring start for group 1 (group 0 rides the head buffer)
-        @pl.when(ng >= 2)
-        def _():
-            tg_dma(1, lo + 1).start()
-
-        @pl.when(ng >= 3)
-        def _():
-            tg_dma(0, lo + 2).start()
-
         dma(r % 2, c).wait()
         f = fbuf[r % 2]
 
@@ -505,49 +514,62 @@ def backward_kernel(
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
         slot_lane = (slot0 + lane).astype(jnp.float32)
 
-        # ---- broadcast-assemble per-lane tile data from the groups (runs
-        # unconditionally: zero iterations when frozen, since frozen => ng==0)
-        mt = (grp == ng.astype(jnp.float32))
-        # natural column slices of the pre-transposed open-tile state
-        gc0 = tg_open[:, TG_GC + 0 : TG_GC + 1] * mt
-        gc1 = tg_open[:, TG_GC + 1 : TG_GC + 2] * mt
-        gc2 = tg_open[:, TG_GC + 2 : TG_GC + 3] * mt
+        # ---- per-lane tile data: disjoint-group SELECT chains (round 4).
+        # The former mask-multiply-accumulate (q += col * mask, 2 full
+        # (PIX, CHUNK) VPU ops per quantity per group, ~24 per flushing
+        # chunk) is replaced by where() selects: the trailing/open tile's
+        # value is the chain's broadcast start (covers grp == ng and dead
+        # lanes harmlessly — every consumer is gated by alpha = 0 there),
+        # and each flushed group overwrites its own lanes. Bit-exact: the
+        # group masks are disjoint and complete, so select == sum-of-masked.
+        # chain starts are (PIX, 1) columns / scalars — the first where()
+        # broadcasts them against its (1, CHUNK) mask for free
+        gc0 = tg_open[:, TG_GC + 0 : TG_GC + 1]
+        gc1 = tg_open[:, TG_GC + 1 : TG_GC + 2]
+        gc2 = tg_open[:, TG_GC + 2 : TG_GC + 3]
         gtt = (
-            tg_open[:, TG_GT : TG_GT + 1] * tg_open[:, TG_EXP_LT : TG_EXP_LT + 1]
-        ) * mt
-        # trailing lanes use the WALKED carry, not lt_final
-        lte = lt_carry[...] * mt
-        scar = s_carry[...] * mt
-        frz_l = frz_open * mt
-
-        # ---- head (group 0), branch-free: a head DMA was started for this
-        # parity by the previous chunk (or init) regardless of ng, so the
-        # wait always balances; the ONE lane->sublane relayout per chunk
-        # (an MXU identity-matmul transpose measured slower, and exactness
-        # forbids its bf16 input truncation anyway).
-        # NaN note (ADVICE r3): the head block is only ever read for flush
-        # chunks (ng >= 1), whose head tile lo genuinely flushed (its
-        # sentinel lies inside this executed chunk) — so no uninitialized
-        # HBM can reach the arithmetic even on clamped frames; no-flush
-        # chunks take the zero branch without any DMA.
-        def _head_read():
-            htg_dma(r % 2, jnp.clip(lo, tile_start, tile_end - 1)).wait()
-            return htgbuf[r % 2].T  # the ONE (TG_ROWS, PIX) relayout
-
-        tgT0 = jax.lax.cond(
-            ng >= 1,
-            _head_read,
-            lambda: jnp.zeros((PIX, TG_ROWS), jnp.float32),
+            tg_open[:, TG_GT : TG_GT + 1]
+            * tg_open[:, TG_EXP_LT : TG_EXP_LT + 1]
         )
-        mg0 = (grp == 0.0).astype(jnp.float32)
-        gc0 = gc0 + tgT0[:, TG_GC + 0 : TG_GC + 1] * mg0
-        gc1 = gc1 + tgT0[:, TG_GC + 1 : TG_GC + 2] * mg0
-        gc2 = gc2 + tgT0[:, TG_GC + 2 : TG_GC + 3] * mg0
-        gtt = gtt + (
-            tgT0[:, TG_GT : TG_GT + 1] * tgT0[:, TG_EXP_LT : TG_EXP_LT + 1]
-        ) * mg0
-        lte = lte + tgT0[:, TG_LT : TG_LT + 1] * mg0
-        frz_l = frz_l + tgT0[0:1, TG_FRZ : TG_FRZ + 1] * mg0
+        # trailing lanes use the WALKED carry, not lt_final
+        lte = lt_carry[...]
+        frz_l = frz_open
+        # scar stays masked (it must be ZERO off the trailing group: it
+        # adds into s_all rather than selecting a lane's source)
+        scar = s_carry[...] * (grp == ng.astype(jnp.float32))
+
+        # ---- head (group 0): only flush chunks touch the group ring (the
+        # combined slide starts + waits exactly the groups the chunk's tile
+        # span needs, so residency is deterministic).
+        # NaN note (ADVICE r3): a flush chunk's head tile lo genuinely
+        # flushed (its sentinel lies inside this executed chunk), so no
+        # uninitialized HBM reaches the arithmetic even on clamped frames;
+        # no-flush chunks take the zero branch without touching the ring.
+        def _head_read():
+            t0h = jnp.clip(lo, tile_start, tile_end - 1)
+            if probe != "nohead":
+                ensure_resident((t0h - tile_start) // GROUP_TILES)
+            return tile_cols(t0h)
+
+        if probe == "nohead":  # timing probe: no group reads at all
+            tgT0 = jnp.zeros((PIX, TG_ROWS), jnp.float32)
+        else:
+            tgT0 = jax.lax.cond(
+                ng >= 1,
+                _head_read,
+                lambda: jnp.zeros((PIX, TG_ROWS), jnp.float32),
+            )
+        m0b = (grp == 0.0) & (ng >= 1)
+        gc0 = jnp.where(m0b, tgT0[:, TG_GC + 0 : TG_GC + 1], gc0)
+        gc1 = jnp.where(m0b, tgT0[:, TG_GC + 1 : TG_GC + 2], gc1)
+        gc2 = jnp.where(m0b, tgT0[:, TG_GC + 2 : TG_GC + 3], gc2)
+        gtt = jnp.where(
+            m0b,
+            tgT0[:, TG_GT : TG_GT + 1] * tgT0[:, TG_EXP_LT : TG_EXP_LT + 1],
+            gtt,
+        )
+        lte = jnp.where(m0b, tgT0[:, TG_LT : TG_LT + 1], lte)
+        frz_l = jnp.where(m0b, tgT0[0:1, TG_FRZ : TG_FRZ + 1], frz_l)
 
         # rotate the open-tile state (chunk c-1's trailing tile is this
         # chunk's group 0) — only when group 0 actually flushed here
@@ -557,23 +579,18 @@ def backward_kernel(
 
         def assemble(g, ops):
             gc0, gc1, gc2, gtt, lte, frz_l = ops
-            sl = g % 2
-            tg_dma(sl, lo + g).wait()
-            tgT = tgbuf[sl].T  # (PIX, TG_ROWS)
+            tgT = tile_cols(lo + g)  # resident: span <= TG_NGROUPS - 2
             mg = (grp == g.astype(jnp.float32))
-            gc0 = gc0 + tgT[:, TG_GC + 0 : TG_GC + 1] * mg
-            gc1 = gc1 + tgT[:, TG_GC + 1 : TG_GC + 2] * mg
-            gc2 = gc2 + tgT[:, TG_GC + 2 : TG_GC + 3] * mg
-            gtt = gtt + (
-                tgT[:, TG_GT : TG_GT + 1] * tgT[:, TG_EXP_LT : TG_EXP_LT + 1]
-            ) * mg
-            lte = lte + tgT[:, TG_LT : TG_LT + 1] * mg
-            frz_l = frz_l + tgT[0:1, TG_FRZ : TG_FRZ + 1] * mg
-
-            @pl.when(g + 2 < ng)
-            def _():
-                tg_dma((g + 2) % 2, lo + g + 2).start()
-
+            gc0 = jnp.where(mg, tgT[:, TG_GC + 0 : TG_GC + 1], gc0)
+            gc1 = jnp.where(mg, tgT[:, TG_GC + 1 : TG_GC + 2], gc1)
+            gc2 = jnp.where(mg, tgT[:, TG_GC + 2 : TG_GC + 3], gc2)
+            gtt = jnp.where(
+                mg,
+                tgT[:, TG_GT : TG_GT + 1] * tgT[:, TG_EXP_LT : TG_EXP_LT + 1],
+                gtt,
+            )
+            lte = jnp.where(mg, tgT[:, TG_LT : TG_LT + 1], lte)
+            frz_l = jnp.where(mg, tgT[0:1, TG_FRZ : TG_FRZ + 1], frz_l)
             return gc0, gc1, gc2, gtt, lte, frz_l
 
         gc0, gc1, gc2, gtt, lte, frz_l = jax.lax.fori_loop(

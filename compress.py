@@ -76,7 +76,10 @@ def run_vq(model_p, opt_p, pipe_p, comp_p):
     t0 = time.time()
     npz_path = os.path.join(out_dir, "point_cloud.npz")
     compressed = io_npz.save_npz(
-        compressed, npz_path, sort_morton=not comp_p.not_sort_morton
+        compressed,
+        npz_path,
+        sort_morton=not comp_p.not_sort_morton,
+        xyz_u16=not comp_p.xyz_fp16,
     )
     timings["encode"] = time.time() - t0
 

@@ -160,6 +160,24 @@ def test_npz_indexed_roundtrip(tmp_path):
     assert_scenes_equal(saved, loaded, atol=0.05)
 
 
+def test_npz_xyz_u16_roundtrip(tmp_path):
+    """Fixed-point uint16 xyz container extension: the stored values are
+    the fp16-fake-quant accessor outputs, and the u16 step (extent/65535)
+    is far below the fp16 half-ulp except near zero — so the accessor
+    round-trips to within one u16 step; load dispatches on dtype."""
+    scene = make_scene(80, 100, quantization=True)
+    p = str(tmp_path / "u16.npz")
+    saved = io_npz.save_npz(scene, p, xyz_u16=True)
+    d = np.load(p)
+    assert d["xyz"].dtype == np.uint16
+    assert d["xyz_min"].shape == (3,) and d["xyz_step"].shape == (3,)
+    loaded = io_npz.load_npz(p, override_quantization=True)
+    sx = np.asarray(saved.get_xyz())
+    lx = np.asarray(loaded.get_xyz())
+    step = np.asarray(d["xyz_step"])
+    assert np.abs(sx - lx).max() <= step.max() + 1e-7
+
+
 def test_morton_sorted_scene():
     scene = make_scene(100, 128)
     s2 = scene.morton_sorted()

@@ -35,6 +35,7 @@ def training(
     quantization=True,
     comp_p=None,
     compress_every=0,
+    eval_every=0,
 ):
     import jax
     import jax.numpy as jnp
@@ -178,6 +179,32 @@ def training(
         if epoch % degree_up == 0:
             # "Every 1000 its we increase the levels of SH" (train.py:172)
             state = state._replace(scene=state.scene.oneup_sh_degree())
+        # periodic held-out evaluation: convergence/overfit evidence the
+        # per-step train EMA cannot provide (a trained scene whose test
+        # PSNR still climbs is NOT converged — VERDICT r3 on the round-3
+        # baseline's 8 dB train/test gap)
+        test_psnr = None
+        if eval_every and (
+            epoch % eval_every == 0 or epoch == opt_p.epochs - 1
+        ):
+            test_cams = scene.get_test_cameras()
+            if test_cams:
+                from c3dgs_tpu.eval.metrics import _jit_metrics, render_full
+
+                vals = []
+                for tc in test_cams:
+                    out = render_full(
+                        state.scene.update_observers(),
+                        jnp.asarray(tc.extrinsic_vector),
+                        settings_from_intrinsic(tc.intrinsic),
+                        bg,
+                    )
+                    p, _ = _jit_metrics(
+                        out["render"], jnp.asarray(tc.original_image)
+                    )
+                    vals.append(float(p))
+                test_psnr = sum(vals) / len(vals)
+                print(f"[eval @{epoch}] test_psnr={test_psnr:.2f}")
         print(
             f"[epoch {epoch}] it={it} ema_loss={ema:.4f} "
             f"ema_psnr={ema_psnr:.2f} "
@@ -185,19 +212,17 @@ def training(
         )
         import json as _json
 
-        log_f.write(
-            _json.dumps(
-                {
-                    "epoch": epoch,
-                    "it": it,
-                    "ema_loss": round(ema, 5),
-                    "ema_psnr": round(ema_psnr, 3),
-                    "active": int(state.scene.num_active),
-                    "seconds": round(time.time() - t0, 1),
-                }
-            )
-            + "\n"
-        )
+        entry = {
+            "epoch": epoch,
+            "it": it,
+            "ema_loss": round(ema, 5),
+            "ema_psnr": round(ema_psnr, 3),
+            "active": int(state.scene.num_active),
+            "seconds": round(time.time() - t0, 1),
+        }
+        if test_psnr is not None:
+            entry["test_psnr"] = round(test_psnr, 3)
+        log_f.write(_json.dumps(entry) + "\n")
         log_f.flush()
         if epoch in save_epochs or epoch == opt_p.epochs - 1:
             scene.gaussians = state.scene
@@ -225,6 +250,13 @@ def main(argv=None):
     CompressionParams.add_to_parser(parser, "compression")
     parser.add_argument("--save_epochs", nargs="+", type=int, default=[])
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--eval_every",
+        type=int,
+        default=0,
+        help="evaluate held-out test PSNR every N epochs (0 = off); "
+        "logged as test_psnr in train_log.jsonl",
+    )
     parser.add_argument(
         "--compress_every",
         type=int,
@@ -257,6 +289,7 @@ def main(argv=None):
         quantization=not opt_p.not_quantization_aware,
         comp_p=comp_p,
         compress_every=args.compress_every,
+        eval_every=args.eval_every,
     )
 
 
