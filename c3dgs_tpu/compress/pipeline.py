@@ -204,7 +204,7 @@ def to_compressed(
         codebook_size=comp_params.color_codebook_size,
         importance_prune=comp_params.color_importance_prune,
         importance_include=None,
-        importance_include_relative=0.9,
+        importance_include_relative=comp_params.color_keep_quantile,
         steps=int(comp_params.color_cluster_iterations),
         decay=comp_params.color_decay,
         batch_size=comp_params.color_batch_size,
@@ -213,7 +213,7 @@ def to_compressed(
         codebook_size=comp_params.gaussian_codebook_size,
         importance_prune=None,
         importance_include=None,
-        importance_include_relative=0.75,
+        importance_include_relative=comp_params.gaussian_keep_quantile,
         steps=int(comp_params.gaussian_cluster_iterations),
         decay=comp_params.gaussian_decay,
         batch_size=comp_params.gaussian_batch_size,

@@ -25,9 +25,20 @@ def setup_jax_cache(path: str = "/root/.jax_cache") -> None:
     Long-running runs (train -> compress -> render) share dozens of
     multi-second compiles; on the tunneled backend a remote-compile HTTP
     hiccup kills the process, and without this cache a retry repays the
-    full compile bill. Call before the first jit."""
+    full compile bill. Call before the first jit.
+
+    C3DGS_FORCE_CPU=1 pins the process (and thus every CLI a harness
+    spawns) to the CPU backend: a plain JAX_PLATFORMS=cpu env var does
+    NOT survive the environment's sitecustomize axon registration, and a
+    subprocess that silently lands on the tunneled TPU backend serializes
+    against whatever else holds the chip (pytest smokes hung exactly
+    this way)."""
+    import os as _os
+
     import jax
 
+    if _os.environ.get("C3DGS_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -144,6 +155,15 @@ class CompressionParams(ParamGroup):
     prune_threshold: float = 0.0
 
     finetune_iterations: int = 5000
+
+    # keep-quantile knobs (extension): the reference autosets its keep
+    # thresholds at the 0.9 (color) / 0.75 (covariance) sensitivity
+    # quantiles (compress.py:212-219); raising them stores fewer
+    # uncompressed high-sensitivity rows — the QAT finetune absorbs most
+    # of the quality cost, and the kept-dense color rows are a large
+    # fraction of the container at small scene scales
+    color_keep_quantile: float = 0.9
+    gaussian_keep_quantile: float = 0.75
 
     # container extension (not in the reference): fixed-point uint16 xyz
     # instead of fp16 — same raw bytes, but Morton-ordered fixed-point

@@ -26,37 +26,64 @@ import numpy as np
 # slices at indices 4, 9, 16, 23, 30).
 VGG_BLOCKS = [(64, 2), (128, 2), (256, 3), (512, 3), (512, 3)]
 
+# AlexNet feature extractor (networks.py:12-20 AlexNet slices at indices
+# 1, 4, 7, 9, 11 of torchvision alexnet.features): per conv
+# (out_channels, kernel, stride, padding, maxpool_after_tap) — LPIPS taps
+# after every ReLU; maxpool(3, stride 2) sits between taps 1-2 and 2-3.
+ALEX_CONVS = [
+    (64, 11, 4, 2, True),
+    (192, 5, 1, 2, True),
+    (384, 3, 1, 1, False),
+    (256, 3, 1, 1, False),
+    (256, 3, 1, 1, False),
+]
+
 # ImageNet normalization used by lpipsPyTorch (modules/lpips.py scaling
 # layer): shift/scale on [-1,1]-scaled inputs
 SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
-DEFAULT_WEIGHTS = os.path.join(
-    os.path.dirname(__file__), "weights", "lpips_vgg.npz"
-)
+_WEIGHTS_DIR = os.path.join(os.path.dirname(__file__), "weights")
+DEFAULT_WEIGHTS = os.path.join(_WEIGHTS_DIR, "lpips_vgg.npz")
 
 
-def available(weights_npz: Optional[str] = None) -> bool:
-    return os.path.exists(weights_npz or DEFAULT_WEIGHTS)
+def default_weights(net_type: str = "vgg") -> str:
+    return os.path.join(_WEIGHTS_DIR, f"lpips_{net_type}.npz")
 
 
-def convert_torch_weights(out_npz: str = DEFAULT_WEIGHTS) -> None:
-    """One-time conversion: torchvision VGG16 + LPIPS linear heads -> npz.
-    Requires torchvision + network access (run outside this environment)."""
+def available(
+    weights_npz: Optional[str] = None, net_type: str = "vgg"
+) -> bool:
+    return os.path.exists(weights_npz or default_weights(net_type))
+
+
+def convert_torch_weights(
+    out_npz: Optional[str] = None, net_type: str = "vgg"
+) -> None:
+    """One-time conversion: torchvision VGG16/AlexNet + LPIPS linear heads
+    -> npz. Requires torchvision + network access (run outside this
+    environment). net_type: 'vgg' | 'alex' (networks.py:12-20; the
+    reference's SqueezeNet variant is not ported)."""
     import torch
     import torchvision
 
-    vgg = torchvision.models.vgg16(weights="IMAGENET1K_V1").features
+    out_npz = out_npz or default_weights(net_type)
+    if net_type == "vgg":
+        feats = torchvision.models.vgg16(weights="IMAGENET1K_V1").features
+    elif net_type == "alex":
+        feats = torchvision.models.alexnet(weights="IMAGENET1K_V1").features
+    else:
+        raise ValueError(f"unsupported net_type {net_type!r}")
     state: Dict[str, np.ndarray] = {}
     conv_idx = 0
-    for layer in vgg:
+    for layer in feats:
         if isinstance(layer, torch.nn.Conv2d):
             state[f"conv{conv_idx}/kernel"] = layer.weight.detach().numpy()
             state[f"conv{conv_idx}/bias"] = layer.bias.detach().numpy()
             conv_idx += 1
     url = (
         "https://raw.githubusercontent.com/richzhang/PerceptualSimilarity/"
-        "master/lpips/weights/v0.1/vgg.pth"
+        f"master/lpips/weights/v0.1/{net_type}.pth"
     )
     lin = torch.hub.load_state_dict_from_url(url, progress=False)
     for i in range(5):
@@ -70,13 +97,17 @@ def _load_weights(path: str):
     return {k: jnp.asarray(data[k]) for k in data.files}
 
 
-def _vgg_features(params, x: jax.Array) -> List[jax.Array]:
-    """x: (B,3,H,W) in [0,1]. Returns the 5 tapped activations."""
+def _scaling_layer(x: jax.Array) -> jax.Array:
     # reference scales to [-1,1] then normalizes (ScalingLayer)
     x = x * 2.0 - 1.0
-    x = (x - jnp.asarray(SHIFT)[None, :, None, None]) / jnp.asarray(SCALE)[
-        None, :, None, None
-    ]
+    return (x - jnp.asarray(SHIFT)[None, :, None, None]) / jnp.asarray(
+        SCALE
+    )[None, :, None, None]
+
+
+def _vgg_features(params, x: jax.Array) -> List[jax.Array]:
+    """x: (B,3,H,W) in [0,1]. Returns the 5 tapped activations."""
+    x = _scaling_layer(x)
     feats = []
     conv_idx = 0
     h = x
@@ -97,27 +128,63 @@ def _vgg_features(params, x: jax.Array) -> List[jax.Array]:
     return feats
 
 
+def _alex_features(params, x: jax.Array) -> List[jax.Array]:
+    """AlexNet taps (networks.py AlexNet slices): after each of the 5
+    ReLUs, maxpool(3, stride 2) between taps 1-2 and 2-3."""
+    h = _scaling_layer(x)
+    feats = []
+    for i, (_, k, stride, pad, pool_after) in enumerate(ALEX_CONVS):
+        w = params[f"conv{i}/kernel"]
+        b = params[f"conv{i}/bias"]
+        h = jax.lax.conv_general_dilated(
+            h,
+            w,
+            (stride, stride),
+            [(pad, pad), (pad, pad)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        ) + b[None, :, None, None]
+        h = jax.nn.relu(h)
+        feats.append(h)
+        if pool_after:
+            h = jax.lax.reduce_window(
+                h, -jnp.inf, jax.lax.max, (1, 1, 3, 3), (1, 1, 2, 2), "VALID"
+            )
+    return feats
+
+
+_FEATURES = {"vgg": _vgg_features, "alex": _alex_features}
+
+
 def _unit_normalize(f: jax.Array) -> jax.Array:
     return f * jax.lax.rsqrt(jnp.sum(f * f, axis=1, keepdims=True) + 1e-10)
 
 
 class LPIPS:
-    """Callable LPIPS(img1, img2) on CHW or BCHW images in [0,1]."""
+    """Callable LPIPS(img1, img2) on CHW or BCHW images in [0,1].
 
-    def __init__(self, weights_npz: Optional[str] = None):
-        path = weights_npz or DEFAULT_WEIGHTS
+    net_type: 'vgg' (default, the reference's quality-protocol backbone)
+    or 'alex' (networks.py:12-20 parity)."""
+
+    def __init__(
+        self, weights_npz: Optional[str] = None, net_type: str = "vgg"
+    ):
+        path = weights_npz or default_weights(net_type)
+        if net_type not in _FEATURES:
+            raise ValueError(f"unsupported net_type {net_type!r}")
         if not os.path.exists(path):
             raise FileNotFoundError(
                 f"LPIPS weights not found at {path}; run "
-                "c3dgs_tpu.eval.lpips.convert_torch_weights on a machine "
-                "with torchvision + network access."
+                "c3dgs_tpu.eval.lpips.convert_torch_weights(net_type="
+                f"{net_type!r}) on a machine with torchvision + network "
+                "access."
             )
         self.params = _load_weights(path)
+        self._features = _FEATURES[net_type]
         self._fn = jax.jit(self._lpips)
 
     def _lpips(self, x, y):
-        fx = _vgg_features(self.params, x)
-        fy = _vgg_features(self.params, y)
+        fx = self._features(self.params, x)
+        fy = self._features(self.params, y)
         total = 0.0
         for i, (a, b) in enumerate(zip(fx, fy)):
             d = (_unit_normalize(a) - _unit_normalize(b)) ** 2

@@ -93,6 +93,8 @@ def ssim(
     ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
     )
+    if size_average is None:  # raw (B,C,H,W) map (sharded slab loss)
+        return ssim_map
     if size_average:
         return ssim_map.mean()
     return ssim_map.mean(axis=(1, 2, 3))

@@ -6,8 +6,9 @@ each device composites a slice of the 16x16-tile grid (Gaussians
 replicated), and camera data-parallelism rides the second mesh axis:
 
   mesh ("dp", "tiles")
-  - preprocess: per-dp-row camera, replicated within the row (O(N) jnp
-    work, cheap next to blending);
+  - preprocess: per-dp-row camera, sharded N/D over "tiles" within the
+    row (each device preprocesses its gaussian slice, the per-gaussian
+    outputs all_gather; round 4 — was replicated through round 3);
   - binning: ROUTED — per-slot enumeration, culling, and all sorts run at
     ~cap/D per device; instances ride one all_to_all to their tile's
     owning device (binning.bin_gaussians_routed);
@@ -45,6 +46,69 @@ from ..train import trainer
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def _sharded_preprocess(
+    means3d, cov3d, opacity, shs, ev, settings, axis_name: str
+):
+    """Preprocess N/D gaussians per device, all_gather the per-gaussian
+    outputs (round 4, SCALING.md: preprocess was the last replicated O(N)
+    stage, ~1 ms at 300k). Inputs are replicated, so slicing is free; the
+    gather moves ~15 N-major f32 columns over ICI (~0.4 ms at 300k/D=8 —
+    less than the (D-1)/D of preprocess compute it removes), and its VJP
+    is the matching reduce-scatter. Pad rows (zeros) cull to radius 0 and
+    are sliced off after the gather."""
+    D = jax.lax.axis_size(axis_name)
+    d = jax.lax.axis_index(axis_name)
+    n = means3d.shape[0]
+    k = _round_up(n, D) // D
+
+    def sl(x):
+        pad = [(0, k * D - n)] + [(0, 0)] * (x.ndim - 1)
+        return jax.lax.dynamic_slice_in_dim(jnp.pad(x, pad), d * k, k, 0)
+
+    prep_l = preprocess(
+        sl(means3d), sl(cov3d), sl(opacity), ev, settings, shs=sl(shs)
+    )
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.all_gather(x, axis_name, axis=0, tiled=True)[:n],
+        prep_l,
+    )
+
+
+_SSIM_HALO = 5  # 11x11 SAME window radius
+
+
+def photometric_loss_rows(pred, target, lambda_dssim, axis_name: str):
+    """Exact tile-sharded photometric loss on REPLICATED full images: each
+    device sums its row-slab's L1 and SSIM-map contributions (slab + 5-row
+    halo so every interior window matches the full-image SAME conv) and a
+    psum over `axis_name` reassembles the full-image mean (round 4 — the
+    full-image loss was previously computed identically on every device,
+    ~1.5 ms of replicated SSIM convs; it also scaled every image cotangent
+    by D, which the caller had to divide back out).
+
+    Equal to L.photometric_loss up to f32 partial-sum ordering."""
+    D = jax.lax.axis_size(axis_name)
+    d = jax.lax.axis_index(axis_name)
+    c, h, w = pred.shape
+    rows = _round_up(h, D) // D
+    span = min(rows + 2 * _SSIM_HALO, h)
+    r0 = d * rows
+    start = jnp.clip(r0 - _SSIM_HALO, 0, h - span)
+    sl_p = jax.lax.dynamic_slice(pred, (0, start, 0), (c, span, w))
+    sl_t = jax.lax.dynamic_slice(target, (0, start, 0), (c, span, w))
+    grow = start + jnp.arange(span)  # global row of each slab row
+    mask = ((grow >= r0) & (grow < jnp.minimum(r0 + rows, h)))[None, :, None]
+
+    l1_sum = jnp.sum(jnp.abs(sl_p - sl_t) * mask)
+    ssim_map = L.ssim(sl_p, sl_t, size_average=None)  # (1, C, span, W) map
+    ssim_sum = jnp.sum(ssim_map[0] * mask)
+    l1_sum, ssim_sum = jax.lax.psum((l1_sum, ssim_sum), axis_name)
+    total = float(c * h * w)
+    return (1.0 - lambda_dssim) * (l1_sum / total) + lambda_dssim * (
+        1.0 - ssim_sum / total
+    )
 
 
 def _local_blend_tiles(prep, settings: RasterSettings, n_tiles_axis: int):
@@ -128,7 +192,9 @@ def render_tile_sharded(
     )
     def run(means3d, cov3d, opacity_shs_ev):
         opacity, shs, ev = opacity_shs_ev
-        prep = preprocess(means3d, cov3d, opacity, ev, settings, shs=shs)
+        prep = _sharded_preprocess(
+            means3d, cov3d, opacity, shs, ev, settings, "tiles"
+        )
         out_l, _, trunc = _local_blend_tiles(prep, settings, n_tiles_axis)
         trunc = jax.lax.psum(trunc, ("dp", "tiles"))
         return _gathered_image(out_l, settings, bg), trunc
@@ -173,31 +239,40 @@ def make_hybrid_train_step(
         def local_loss(params):
             scene = trainer.with_params(scene_rest, params)
             st = trainer.settings_with_degree(settings, scene.active_sh_degree)
-            prep = preprocess(
+            # preprocess sharded N/D per device over "tiles" (round 4)
+            prep = _sharded_preprocess(
                 scene.get_xyz(),
                 scene.get_covariance(),
                 scene.get_opacity()[:, 0],
+                scene.get_features(),
                 ev,
                 st,
-                shs=scene.get_features(),
+                "tiles",
             )
             out_l, _, trunc = _local_blend_tiles(prep, st, n_tiles_axis)
             image = _gathered_image(out_l, st, bg)
-            loss = L.photometric_loss(image, gt, opt.lambda_dssim)
+            # slab-sharded loss (round 4): each device sums its row slab's
+            # L1/SSIM contribution; the psum inside makes the loss
+            # replicated within the dp row
+            loss = photometric_loss_rows(
+                image, gt, opt.lambda_dssim, "tiles"
+            )
             return loss, jax.lax.stop_gradient(trunc)
 
         (loss, trunc), grads = jax.value_and_grad(local_loss, has_aux=True)(
             params
         )
         trunc = jax.lax.psum(trunc, ("dp", "tiles"))
-        # every device in a dp row computes the (identical) full-image loss,
-        # and the transpose of the "tiles" all_gather is a reduce-scatter of
-        # those identical cotangents — so each grad_d arrives scaled by
-        # n_tiles. tiles-psum reassembles per-camera grads (x n_tiles),
-        # dp-psum sums cameras; divide by both for the exact camera mean
-        # (n_tiles, n_dp powers of two -> the division is exact in f32)
+        # With the slab loss + sharded preprocess, each device's param grad
+        # is a genuine PARTIAL (its preprocess slice + its tiles' blend
+        # path; the all_gather VJPs are psum_scatters that already summed
+        # the cross-device pieces of each partial) — the tiles-psum
+        # reassembles the full per-camera gradient exactly once, dp-psum
+        # sums cameras, so only the dp mean is divided out. (The former
+        # replicated full-image loss scaled every image cotangent by
+        # n_tiles, which had to be divided back out here.)
         grads = jax.tree_util.tree_map(
-            lambda g: jax.lax.psum(g, ("dp", "tiles")) / (n_dp * n_tiles_axis),
+            lambda g: jax.lax.psum(g, ("dp", "tiles")) / n_dp,
             grads,
         )
         loss = jax.lax.psum(loss, "dp") / n_dp

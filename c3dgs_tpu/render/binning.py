@@ -373,11 +373,25 @@ def bin_gaussians(
     )
     sent_sorted = is_sent
 
-    # ---- gaussian-major permutation + tile ranges in ONE sort: ordering
-    # slots by payload puts kept rows first (pj < n<<j),
-    # then the T sentinels in tile order (pj = (n+t)<<j), then invalid —
-    # so ends[t] is simply perm[kept_total + t]: the former standalone
-    # sentinel-compaction sort (~0.3 ms at 1080p) comes for free.
+    # ---- tile ranges from a SINGLE-KEY sentinel-position sort (round 4):
+    # sentinel rows sort in tile order (their keys ascend with tile), so
+    # their positions in ascending order ARE ends[0..T). Decoupling this
+    # from the gaussian-major perm sort below lets a forward-only graph
+    # (inference) DCE the 2-key perm sort + the boundary rank pass
+    # entirely — they exist only for the backward's grad reduction.
+    pos_c = jnp.arange(cap, dtype=jnp.int32)
+    (sent_packed,) = jax.lax.sort(
+        (jnp.where(is_sent, pos_c, (1 << 24) | pos_c),),
+        num_keys=1,
+        is_stable=False,
+    )
+    ends = _ob(sent_packed[:num_tiles] & ((1 << 24) - 1))
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), ends[:-1] + 1])
+    counts = ends - starts
+
+    # ---- gaussian-major permutation (backward only): ordering slots by
+    # payload puts kept rows first (pj < n<<j), then the T sentinels in
+    # tile order, then invalid.
     pj_gm, perm = jax.lax.sort(
         (pj_s, jnp.arange(cap, dtype=jnp.int32)), num_keys=2, is_stable=False
     )
@@ -393,12 +407,6 @@ def bin_gaussians(
     boundary_cum = _rank_in_sorted(gid_gm, jnp.arange(n, dtype=jnp.int32))
     kept_total = boundary_cum[-1]
     culled = jnp.minimum(total, cap) - kept_total
-
-    ends = _ob(
-        jax.lax.dynamic_slice(perm, (kept_total,), (num_tiles,))
-    )
-    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), ends[:-1] + 1])
-    counts = ends - starts
 
     # ---- kernel iteration counts + grad layout: one CHUNK window per
     # CHUNK real instances (the kernels roll-shift the unaligned segment)

@@ -85,11 +85,19 @@ def run_vq(model_p, opt_p, pipe_p, comp_p):
 
     t0 = time.time()
     eval_cams = scene.get_test_cameras() or scene.get_train_cameras()[:8]
-    results = render_and_eval(compressed, eval_cams, npz_path=npz_path)
+    # LPIPS when converted weights exist (reference protocol reports
+    # PSNR/SSIM/LPIPS, compress.py:150-163; weights are download-gated in
+    # zero-egress environments — eval/lpips.py)
+    from c3dgs_tpu.eval import lpips as lpips_mod
+
+    lpips_fn = lpips_mod.LPIPS() if lpips_mod.available() else None
+    results = render_and_eval(
+        compressed, eval_cams, npz_path=npz_path, lpips_fn=lpips_fn
+    )
     # uncompressed baseline on the same split: compression ratio (vs the
     # trained .ply) and the PSNR drop — the reference's headline numbers
     # (>= 26-31x at <= 0.5 dB)
-    base = render_and_eval(gaussians, eval_cams)
+    base = render_and_eval(gaussians, eval_cams, lpips_fn=lpips_fn)
     results["uncompressed_psnr"] = base["psnr"]
     if results.get("psnr") is not None and base.get("psnr") is not None:
         results["psnr_drop"] = base["psnr"] - results["psnr"]

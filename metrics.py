@@ -10,13 +10,20 @@ import os
 from pathlib import Path
 
 
-def evaluate(model_paths):
+def evaluate(model_paths, lpips_net="vgg"):
     import numpy as np
     import jax.numpy as jnp
 
+    from c3dgs_tpu.eval import lpips as lpips_mod
     from c3dgs_tpu.ops import losses as L
 
     from PIL import Image
+
+    lpips_fn = (
+        lpips_mod.LPIPS(net_type=lpips_net)
+        if lpips_mod.available(net_type=lpips_net)
+        else None
+    )
 
     def read(p):
         arr = np.asarray(Image.open(p)).astype(np.float32) / 255.0
@@ -30,7 +37,7 @@ def evaluate(model_paths):
             gt_dir = method_dir / "gt"
             if not renders_dir.exists():
                 continue
-            ssims, psnrs, per_view = [], [], {}
+            ssims, psnrs, lpipss, per_view = [], [], [], {}
             for img_path in sorted(renders_dir.iterdir()):
                 gt_path = gt_dir / img_path.name
                 if not gt_path.exists():
@@ -41,10 +48,15 @@ def evaluate(model_paths):
                 psnrs.append(p)
                 ssims.append(s)
                 per_view[img_path.name] = {"psnr": p, "ssim": s}
+                if lpips_fn is not None:
+                    lp = float(lpips_fn(render, gt))
+                    lpipss.append(lp)
+                    per_view[img_path.name]["lpips"] = lp
             name = str(method_dir.relative_to(model_path))
             result = {
                 "SSIM": float(np.mean(ssims)) if ssims else None,
                 "PSNR": float(np.mean(psnrs)) if psnrs else None,
+                "LPIPS": float(np.mean(lpipss)) if lpipss else None,
             }
             full[name] = result
             print(f"  {name}: {result}")
@@ -59,8 +71,15 @@ def main(argv=None):
     parser.add_argument(
         "--model_paths", "-m", required=True, nargs="+", type=str
     )
+    parser.add_argument(
+        "--lpips_net",
+        choices=["vgg", "alex"],
+        default="vgg",
+        help="LPIPS backbone (reference networks.py:12-20; used when "
+        "converted weights are present)",
+    )
     args = parser.parse_args(argv)
-    evaluate(args.model_paths)
+    evaluate(args.model_paths, lpips_net=args.lpips_net)
 
 
 if __name__ == "__main__":

@@ -83,28 +83,33 @@ def write_blender_dataset(
     bg = jnp.zeros(3)
     cov = scene.get_covariance()
 
-    def render(ev):
-        if use_pallas:
-            from c3dgs_tpu.render import rasterizer
+    # ONE jitted render reused across views (ev is the only argument):
+    # eager dispatch pays hundreds of tunneled round-trips per view —
+    # measured ~2.5 min/view at 512p/60k on the remote backend, ~1 s jitted
+    import jax as _jax
 
-            return rasterizer.render(
-                scene.get_xyz(),
-                cov,
-                scene.get_opacity()[:, 0],
-                jnp.asarray(ev),
-                settings,
-                bg,
-                shs=scene.get_features(),
-            )
-        return render_oracle(
-            scene.get_xyz(),
-            cov,
-            scene.get_opacity()[:, 0],
-            jnp.asarray(ev),
-            settings,
-            bg,
-            shs=scene.get_features(),
-        )
+    if use_pallas:
+        from c3dgs_tpu.render import rasterizer as _rast
+
+        _render_fn = _rast.render
+    else:
+        _render_fn = render_oracle
+
+    @_jax.jit
+    def _render_jit(ev, xyz, cov_a, op, shs):
+        # scene tensors ride as ARGUMENTS: closure constants at this size
+        # can blow the tunneled remote-compile body limit (docs/PERF.md)
+        return _render_fn(xyz, cov_a, op, ev, settings, bg, shs=shs)
+
+    _args = (
+        scene.get_xyz(),
+        cov,
+        scene.get_opacity()[:, 0],
+        scene.get_features(),
+    )
+
+    def render(ev):
+        return _render_jit(jnp.asarray(ev), *_args)
 
     for split, num, r in (
         ("train", num_train, radius),

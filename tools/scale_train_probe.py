@@ -40,6 +40,13 @@ def main():
     ap.add_argument("--n_gt", type=int, default=600_000)
     ap.add_argument("--n_views", type=int, default=12)
     ap.add_argument("--res", type=str, default="1920x1080")
+    ap.add_argument(
+        "--out_dir",
+        type=str,
+        default="/root/repo/output",
+        help="artifact directory (pytest smokes point this at tmp so the "
+        "committed evidence files are never overwritten)",
+    )
     args = ap.parse_args()
     w, h = (int(v) for v in args.res.split("x"))
 
@@ -120,7 +127,7 @@ def main():
     # modest initial bucket; render_gt probes + grows on overflow (a
     # 2^23-slot first guess OOMed: staged+grad+sort buffers all scale with
     # the static capacity)
-    gt_policy = CapacityPolicy(initial=1 << 22)
+    gt_policy = CapacityPolicy(initial=min(1 << 22, 16 * max(args.n_gt, args.n_init)))
     from c3dgs_tpu.eval.metrics import render_full
 
     print("rendering ground-truth views...", flush=True)
@@ -148,7 +155,9 @@ def main():
     opt = OptimizationParams()
     state = trainer.create_train_state(scene, opt, spatial_lr_scale=4.0)
 
-    capacity = CapacityPolicy(initial=1 << 22)
+    # capacity scaled to the scene so the CPU pytest smoke's tiny
+    # configs don't pay a 4M-slot domain
+    capacity = CapacityPolicy(initial=min(1 << 22, 16 * args.n_init))
     steps = args.steps
     densify_every = 150
     densify_from = 200
@@ -156,7 +165,8 @@ def main():
     reset_every = 900
     degree_every = max(1, steps // 4)
 
-    log_path = "/root/repo/output/scale_train_log.jsonl"
+    os.makedirs(args.out_dir, exist_ok=True)
+    log_path = os.path.join(args.out_dir, "scale_train_log.jsonl")
     log_f = open(log_path, "w")
     ema_psnr = None
     t0 = time.time()
@@ -260,7 +270,7 @@ def main():
         "clamp_experiment": clamp_rows,
         "log": log_path,
     }
-    with open("/root/repo/output/SCALE_TRAIN.json", "w") as f:
+    with open(os.path.join(args.out_dir, "SCALE_TRAIN.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

@@ -109,6 +109,33 @@ def training(
                 )
             it += 1
             loss = float(metrics["loss"])
+            if loss != loss or loss in (float("inf"), float("-inf")):
+                # debug crash snapshot (reference …no_camera/__init__.py:
+                # 179-197 dumps all kernel args on CUDA error): a
+                # non-finite loss dumps the full training state + camera
+                # so the failing step is reproducible offline
+                snap = os.path.join(
+                    model_p.model_path, f"snapshot_step_{it}.npz"
+                )
+                import numpy as _np
+
+                import dataclasses as _dc
+
+                _np.savez_compressed(
+                    snap,
+                    extrinsic_vector=_np.asarray(cam.extrinsic_vector),
+                    intrinsic=_np.asarray(cam.intrinsic),
+                    **{
+                        f"scene_{f.name}": _np.asarray(
+                            getattr(state.scene, f.name)
+                        )
+                        for f in _dc.fields(state.scene)
+                        if hasattr(getattr(state.scene, f.name), "shape")
+                    },
+                )
+                raise FloatingPointError(
+                    f"non-finite loss at step {it}; state snapshot: {snap}"
+                )
             psnr = float(metrics["psnr"])
             ema = loss if ema is None else 0.6 * ema + 0.4 * loss
             ema_psnr = (
