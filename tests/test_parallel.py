@@ -157,6 +157,37 @@ def test_mesh_shapes():
     assert m2.shape["dp"] == 1
 
 
+def test_slab_loss_matches_full():
+    """photometric_loss_rows (slab-sharded L1+SSIM with halo) must equal
+    the full-image loss up to f32 partial-sum ordering, including at
+    heights that don't divide the axis and tiny images where the halo
+    clamps to the border."""
+    import functools
+
+    from c3dgs_tpu.ops import losses as L
+    from c3dgs_tpu.parallel.sharded import photometric_loss_rows
+
+    rng = np.random.default_rng(9)
+    for h, w in [(32, 64), (33, 40), (96, 48)]:
+        pred = jnp.asarray(rng.random((3, h, w)).astype(np.float32))
+        gt = jnp.asarray(rng.random((3, h, w)).astype(np.float32))
+        mesh = make_mesh(dp=1, tiles=8)
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(jax.sharding.PartitionSpec(),) * 2,
+            out_specs=jax.sharding.PartitionSpec(),
+            check_vma=False,
+        )
+        def sharded(p, t):
+            return photometric_loss_rows(p, t, 0.2, "tiles")[None]
+
+        got = float(sharded(pred, gt)[0])
+        want = float(L.photometric_loss(pred, gt, 0.2))
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-7)
+
+
 def test_routed_local_cap_geometry():
     """Static routing geometry invariants for assorted (cap, D, T): the
     local array always fits every pair budget + owned sentinels, is

@@ -11,7 +11,7 @@ tiles axis stays process-local (ICI's stand-in). One hybrid train step runs
 on a toy scene and the updated parameters are asserted equal (5e-5) to a
 single-device two-camera reference computed locally in each process.
 
-Usage:  python tools/dcn_probe.py            # launcher, writes MULTIPROC_r03.json
+Usage:  python tools/dcn_probe.py            # launcher, writes MULTIPROC_r04.json
         python tools/dcn_probe.py --pid N    # internal worker entry
 """
 import argparse
@@ -140,7 +140,7 @@ def worker(pid: int):
             "per_param_diffs": diffs,
             "shard_route_dropped": dropped,
         }
-        with open(os.path.join(REPO, "MULTIPROC_r03.json"), "w") as f:
+        with open(os.path.join(REPO, "MULTIPROC_r04.json"), "w") as f:
             json.dump(out, f, indent=1)
         print("[dcn_probe] PASS", json.dumps(out))
     jax.distributed.shutdown()
@@ -170,7 +170,7 @@ def launch():
     rcs = [p.wait(timeout=900) for p in procs]
     if any(rcs):
         sys.exit(f"worker exit codes {rcs}")
-    print("both workers passed; MULTIPROC_r03.json written")
+    print("both workers passed; MULTIPROC_r04.json written")
 
 
 if __name__ == "__main__":
