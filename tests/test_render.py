@@ -150,6 +150,77 @@ def test_pallas_matches_oracle_gradients(fast_grad, packed):
         )
 
 
+def test_packed_freeze_chunk_compaction_exact():
+    """Whole-chunk frozen skips (an opaque near wall saturates a tile, so
+    later chunks of far splats are dead) are compacted out of the packed
+    backward's grid in XLA (round 4). Neither the bench scene nor the
+    other tests ever actually froze a chunk — this one does, and asserts
+    forward AND gradients still match the oracle exactly, with the far
+    occluded splats receiving ~zero gradient."""
+    rng = np.random.default_rng(4)
+    n_near, n_far = 60, 500
+    # near wall: large opaque splats covering the left tile
+    near = np.zeros((n_near, 3), np.float32)
+    near[:, 0] = rng.uniform(-0.9, -0.3, n_near)
+    near[:, 1] = rng.uniform(-0.5, 0.5, n_near)
+    near[:, 2] = 2.0 + rng.uniform(0, 0.1, n_near)
+    far = np.zeros((n_far, 3), np.float32)
+    far[:, 0] = rng.uniform(-0.9, -0.3, n_far)
+    far[:, 1] = rng.uniform(-0.5, 0.5, n_far)
+    far[:, 2] = 6.0 + rng.uniform(0, 1.0, n_far)
+    means = jnp.asarray(np.concatenate([near, far]))
+    n = n_near + n_far
+    scales = np.full((n, 3), 0.25, np.float32)
+    scales[n_near:] = 0.12
+    quats = np.tile(np.asarray([1, 0, 0, 0], np.float32), (n, 1))
+    cov3d = jnp.asarray(
+        quat.cov6_from_scaling_rotation(
+            jnp.asarray(scales), jnp.asarray(quats)
+        )
+    )
+    opacity = np.full((n,), 0.995, np.float32)
+    opacity[n_near:] = 0.6
+    opacity = jnp.asarray(opacity)
+    colors = jnp.asarray(rng.random(size=(n, 3)).astype(np.float32))
+    ev = jnp.asarray([0, 0, 0, 1, 0, 0, 0], jnp.float32)
+    bg = jnp.zeros(3)
+    settings = dataclasses.replace(SETTINGS, fast_grad=False, packed=True)
+
+    out = rasterizer.render(means, cov3d, opacity, ev, settings, bg,
+                            colors_precomp=colors)
+    oracle = oracle_mod.render_oracle(
+        means, cov3d, opacity, ev, settings, bg, colors_precomp=colors
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["render"]), np.asarray(oracle["render"]), atol=1e-4
+    )
+    # the wall must actually saturate (freeze preconditions)
+    assert float(out["final_T"].min()) < 1e-6
+
+    target = jnp.zeros((3, settings.height, settings.width))
+
+    def loss(render_fn, m, c, o, col):
+        img = render_fn(m, c, o, ev, settings, bg, colors_precomp=col)[
+            "render"
+        ]
+        return ((img - target) ** 2).sum()
+
+    go = jax.grad(lambda *a: loss(oracle_mod.render_oracle, *a),
+                  argnums=(0, 1, 2, 3))(means, cov3d, opacity, colors)
+    gp = jax.grad(lambda *a: loss(rasterizer.render, *a),
+                  argnums=(0, 1, 2, 3))(means, cov3d, opacity, colors)
+    for name, a, b in zip(["means", "cov", "op", "colors"], go, gp):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(
+            b / scale, a / scale, atol=5e-4, err_msg=f"grad mismatch: {name}"
+        )
+    # fully occluded far splats: ~zero gradient everywhere
+    g_far = np.abs(np.asarray(gp[0][n_near:])).max()
+    g_near = np.abs(np.asarray(gp[0][:n_near])).max()
+    assert g_far < 1e-3 * max(g_near, 1e-6)
+
+
 def test_packed_gradients_with_sentinel_at_chunk_boundary():
     """Regression: when a tile's segment ends exactly at a CHUNK boundary,
     its sentinel is lane 0 of the next chunk — the packed backward's
