@@ -104,6 +104,12 @@ def main():
         help="GT-scene generator seed (multi-seed robustness runs redirect "
         "out_root and skip the RESULTS.md write)",
     )
+    ap.add_argument(
+        "--no_compress", action="store_true",
+        help="train + held-out eval only (multi-seed robustness runs prove "
+        "ADC-schedule convergence; the compression stage is the headline "
+        "run's job)",
+    )
     args = ap.parse_args()
 
     global DATA, MODEL
@@ -172,12 +178,38 @@ def main():
                 str(max(1, 3 * epochs // 4)),
             ]
         )
+    if args.no_compress:
+        log = [
+            json.loads(l)
+            for l in open(os.path.join(MODEL, "train_log.jsonl"))
+        ]
+        evals = [e for e in log if "test_psnr" in e]
+        print("(--no_compress) held-out eval curve:")
+        for e in evals:
+            print(
+                f"  epoch {e['epoch']}: test {e['test_psnr']:.2f} dB "
+                f"(train EMA {e['ema_psnr']:.2f})"
+            )
+        return
     comp_cmd = [sys.executable, "compress.py", "-m", MODEL]
     if args.fast:  # CPU-sized compression for the pytest smoke
         comp_cmd += [
             "--finetune_iterations", "10",
             "--color_cluster_iterations", "3",
             "--gaussian_cluster_iterations", "5",
+        ]
+    else:
+        # round-4 headline config (VERDICT r3 #2c): at <=100k-splat scene
+        # scale the codebooks dominate the container, so 2^11 entries +
+        # raised keep-quantiles + the (default) Morton-u16 xyz codec buy
+        # the reference's 26-31x band; QAT finetune absorbs the quality
+        # cost (round-3 measured ~0.15 dB for the 2^12->2^11 step alone)
+        comp_cmd += [
+            "--color_codebook_size", "2048",
+            "--gaussian_codebook_size", "2048",
+            "--color_keep_quantile", "0.97",
+            "--gaussian_keep_quantile", "0.92",
+            "--finetune_iterations", "3000",
         ]
     sh(comp_cmd)
 
