@@ -202,7 +202,6 @@ def to_compressed(
 
     color_settings = CompressionSettings(
         codebook_size=comp_params.color_codebook_size,
-        importance_prune=comp_params.color_importance_prune,
         importance_include=None,
         importance_include_relative=comp_params.color_keep_quantile,
         steps=int(comp_params.color_cluster_iterations),
@@ -211,7 +210,6 @@ def to_compressed(
     )
     gaussian_settings = CompressionSettings(
         codebook_size=comp_params.gaussian_codebook_size,
-        importance_prune=None,
         importance_include=None,
         importance_include_relative=comp_params.gaussian_keep_quantile,
         steps=int(comp_params.gaussian_cluster_iterations),

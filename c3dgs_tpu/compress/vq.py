@@ -25,10 +25,13 @@ import jax.numpy as jnp
 @dataclasses.dataclass
 class CompressionSettings:
     """compression/vq.py:106-114 (mutable: thresholds are autoset at run
-    time, compress_gaussians :212-219)."""
+    time, compress_gaussians :212-219). The reference's `importance_prune`
+    field is dropped here: it is declared but never read there either
+    (compression/vq.py:109) — pruning is `prune_threshold` on
+    compress_gaussians; the CLI flags of the same name remain accepted for
+    parity (config.py) and are documented as vestigial."""
 
     codebook_size: int
-    importance_prune: Optional[float]
     importance_include: Optional[float]
     importance_include_relative: float
     steps: int

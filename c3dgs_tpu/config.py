@@ -131,6 +131,12 @@ class CompressionParams(ParamGroup):
     start_checkpoint: str = ""
     output_vq: str = ""
 
+    # importance_include / importance_prune / color_importance_prune are
+    # accepted for CLI parity but VESTIGIAL, exactly as in the reference:
+    # declared (arguments/__init__.py:88-92) yet never read by the pipeline
+    # (compression/vq.py:109 declares importance_prune and never uses it;
+    # pruning is controlled by prune_threshold, keep thresholds by the
+    # *_keep_quantile autoset).
     importance_include: float = 0.0
     importance_prune: float = 1.0
 

@@ -57,6 +57,22 @@ def available(
     return os.path.exists(weights_npz or default_weights(net_type))
 
 
+# machine-readable reason attached next to every null LPIPS in
+# results.json / per_view.json (the reference protocol always reports
+# LPIPS, metrics.py:72-79; only the pretrained weights are egress-gated)
+UNAVAILABLE_REASON = "weights unavailable (zero egress)"
+
+
+def unavailable_hint(net_type: str = "vgg") -> str:
+    """One-line operator instruction for enabling LPIPS."""
+    return (
+        f"LPIPS ({net_type}) skipped: {UNAVAILABLE_REASON}. Enable it by "
+        "running, on a machine with network access, "
+        f"c3dgs_tpu.eval.lpips.convert_torch_weights(net_type={net_type!r}) "
+        f"and copying the npz to {default_weights(net_type)}"
+    )
+
+
 def convert_torch_weights(
     out_npz: Optional[str] = None, net_type: str = "vgg"
 ) -> None:

@@ -16,6 +16,7 @@ from typing import List, Optional
 import jax.numpy as jnp
 import numpy as np
 
+from . import lpips
 from ..models.gaussians import GaussianScene
 from ..ops import losses as L
 from ..render.capacity import CapacityPolicy
@@ -111,6 +112,9 @@ def render_and_eval(
             lp = float(lpips_fn(img, gt))
             lpipss.append(lp)
             entry["lpips"] = lp
+        else:
+            entry["lpips"] = None
+            entry["lpips_reason"] = lpips.UNAVAILABLE_REASON
         per_view[getattr(cam, "image_name", str(i))] = entry
         if dump_dir:
             name = getattr(cam, "image_name", f"{i:05d}") + ".png"
@@ -123,6 +127,8 @@ def render_and_eval(
         "lpips": float(np.mean(lpipss)) if lpipss else None,
         "num_views": len(psnrs),
     }
+    if lpips_fn is None:
+        results["lpips_reason"] = lpips.UNAVAILABLE_REASON
     if npz_path and os.path.exists(npz_path):
         results["size_bytes"] = os.path.getsize(npz_path)
     results["per_view"] = per_view

@@ -138,10 +138,8 @@ def _blend_backward_call_packed(
     )
     # SLIM per-tile blocks: of the 16 totals+cotangent rows only 7 feed the
     # backward (exp(lt), lt, freeze; dL/dC x3, dL/dT_final) — packing just
-    # those (padded to 8 sublanes) halves each flush's DMA bytes AND its
-    # one lane->sublane transpose, which the noflush strip-probe measured
-    # at ~8 ms/frame combined on the 1080p bench. Row map (TG_* in
-    # tiles_packed): 0 exp(lt_final), 1 lt_final, 2 freeze slot,
+    # those (padded to 8 sublanes) halves each flush's DMA bytes. Row map
+    # (TG_* in tiles_packed): 0 exp(lt_final), 1 lt_final, 2 freeze slot,
     # 3..5 dL/dC, 6 dL/dT_final, 7 pad. Still ONE DMA per flush.
     tg = jnp.concatenate(
         [
@@ -151,20 +149,16 @@ def _blend_backward_call_packed(
         ],
         axis=1,
     )
-    # grouped PIX-major layout (tiles_packed.GROUP_TILES tiles per
-    # (PIX, 128) block): ONE XLA transpose replaces the kernel's ~1 per
-    # flush (TG_ROWS, PIX) -> (PIX, TG_ROWS) relayout, which measured
-    # 3.2 ms/frame on the 1080p bench (notranspose strip probe)
+    # grouped NATURAL layout for the (CHUNK, PIX) kernel: GROUP_TILES
+    # row-major blocks stack to one (128, PIX) group — a FREE reshape
+    # (contiguous either way; round 4's PIX-major grouping paid a real
+    # XLA transpose here AND per-tile lane-rolls in the kernel)
     t_out = tg.shape[0]
     gt = tiles_packed.GROUP_TILES
     t_pad = -(-t_out // gt) * gt
     if t_pad != t_out:
         tg = jnp.pad(tg, ((0, t_pad - t_out), (0, 0), (0, 0)))
-    tg_g = (
-        tg.reshape(t_pad // gt, gt, tiles_packed.TG_ROWS, tiles.PIX)
-        .transpose(0, 3, 1, 2)
-        .reshape(t_pad // gt, tiles.PIX, gt * tiles_packed.TG_ROWS)
-    )
+    tg_g = tg.reshape(t_pad // gt, gt * tiles_packed.TG_ROWS, tiles.PIX)
 
     # ---- chunk compaction: an executed chunk with no flush whose open
     # tile is already frozen (saturated) is a whole-chunk no-op — the old
@@ -204,15 +198,15 @@ def _blend_backward_call_packed(
             pltpu.VMEM(
                 (
                     tiles_packed.TG_NGROUPS,
-                    tiles.PIX,
                     gt * tiles_packed.TG_ROWS,
+                    tiles.PIX,
                 ),
                 jnp.float32,
             ),  # gbuf group ring
-            pltpu.VMEM((tiles.PIX, tiles_packed.TG_ROWS), jnp.float32),
+            pltpu.VMEM((tiles_packed.TG_ROWS, tiles.PIX), jnp.float32),
             pltpu.VMEM((2, NUM_FIELDS, CHUNK), jnp.float32),  # wbuf
-            pltpu.VMEM((tiles.PIX, 1), jnp.float32),  # s_carry
-            pltpu.VMEM((tiles.PIX, 1), jnp.float32),  # lt_carry
+            pltpu.VMEM((1, tiles.PIX), jnp.float32),  # s_carry
+            pltpu.VMEM((1, tiles.PIX), jnp.float32),  # lt_carry
             pltpu.SMEM((1,), jnp.int32),  # gstate
             pltpu.SemaphoreType.DMA((2,)),  # fields
             pltpu.SemaphoreType.DMA((tiles_packed.TG_NGROUPS,)),  # groups

@@ -77,14 +77,16 @@ TG_GC = 3  # rows 3..5: dL/dC
 TG_GT = 6  # dL/dT_final
 TG_ROWS = 8
 
-# grouped PIX-major tile-block layout (round 4): the per-flush
-# (TG_ROWS, PIX) -> (PIX, TG_ROWS) relayout measured 3.2 ms/frame on the
-# 1080p bench (notranspose strip probe), so the blocks are pre-transposed
-# ONCE in XLA and packed 16 tiles to a (PIX, 128) group — 128 lanes is the
-# minimum DMA-able minor dim, which is also why a single tile's (PIX, 8)
-# block cannot be DMA'd directly. The backward streams groups through a
-# VMEM ring; per-tile reads are one dynamic lane-roll + static slice.
-GROUP_TILES = 16  # tiles per (PIX, GROUP_TILES * TG_ROWS) group block
+# grouped NATURAL tile-block layout (round 5, the (CHUNK, PIX) kernel):
+# 16 row-major (TG_ROWS, PIX) blocks stack to a (128, PIX) group — a FREE
+# XLA reshape of the (T, TG_ROWS, PIX) slim array (contiguous either way;
+# round 4's PIX-major grouping needed a real transpose). In the
+# (CHUNK, PIX) operand orientation a tile's data is consumed as (1, PIX)
+# ROWS, so the per-tile read is one dynamic-SUBLANE slice of the resident
+# group — dynamic sublane offsets are native to the TPU memory path,
+# unlike round 4's per-tile dynamic lane-rolls, which serialized on the
+# VPU permute unit (~4.4 ms/frame on the 1080p bench, nohead strip probe).
+GROUP_TILES = 16  # tiles per (GROUP_TILES * TG_ROWS, PIX) group block
 TG_NGROUPS = 12  # resident ring: must exceed the widest single-chunk tile
 # span, ceil((CHUNK + 1) / GROUP_TILES) + 1 = 10 (a chunk flushes at most
 # CHUNK tiles — one sentinel per lane)
@@ -332,6 +334,22 @@ def forward_kernel(
             out_dma((n_flushed - 1) % 2, n_flushed - 1).wait()
 
 
+def _tri_dot_left(tri, x):
+    """tri @ x at ~f32 accuracy in 2 MXU passes — the left-multiplying
+    sibling of tiles._tri_dot (same exactness argument: tri is 0/1 =
+    exactly bf16, only x needs the hi/lo split)."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = x - hi
+    d = lambda a: jnp.dot(tri, a, preferred_element_type=jnp.float32)
+    return d(hi) + d(lo)
+
+
+def _tri_dot_left_1pass(tri, x):
+    """Single-pass tri @ x (x truncated to bf16 by the MXU) — fast_grad's
+    suffix matmul; see tiles._tri_dot_1pass for the error argument."""
+    return jnp.dot(tri, x, preferred_element_type=jnp.float32)
+
+
 def backward_kernel(
     tile_lo_ref,
     chunk_map_ref,  # (nc,) int32 ACTIVE chunk ids in descending order
@@ -342,19 +360,19 @@ def backward_kernel(
     # written: the grads output is zero-initialized via input aliasing.
     meta_ref,  # (4,) int32: [n_active_chunks, tile_start, tile_end, cap]
     fields_hbm,  # (NUM_FIELDS, cap)
-    tg_hbm,  # (Tg, PIX, GROUP_TILES * TG_ROWS) SLIM tile blocks,
-    # pre-transposed PIX-major and packed GROUP_TILES per group (the VJP
-    # wrapper builds this layout once per frame in XLA); tile t's columns
-    # live in group t // GROUP_TILES at lanes (t % GROUP_TILES) * TG_ROWS
+    tg_hbm,  # (ceil(T/GROUP_TILES), GROUP_TILES * TG_ROWS, PIX) SLIM tile
+    # blocks in NATURAL row-major order, GROUP_TILES stacked per group (a
+    # free reshape in the VJP wrapper); tile t's rows live in group
+    # t // GROUP_TILES at sublanes (t % GROUP_TILES) * TG_ROWS
     zeros_hbm,  # (NUM_FIELDS, cap) zero buffer ALIASED to grads_hbm —
     # skipped chunks' grad rows stay zero; never read or written here
     grads_hbm,  # out (NUM_FIELDS, cap) per-slot grads
     fbuf,  # VMEM (2, NUM_FIELDS, CHUNK)
-    gbuf,  # VMEM (TG_NGROUPS, PIX, GROUP_TILES * TG_ROWS) group ring
-    tg_open,  # VMEM (PIX, TG_ROWS) open tile's block, pre-transposed
+    gbuf,  # VMEM (TG_NGROUPS, GROUP_TILES * TG_ROWS, PIX) group ring
+    tg_open,  # VMEM (TG_ROWS, PIX) open tile's block (natural layout)
     wbuf,  # VMEM (2, NUM_FIELDS, CHUNK) grad write ring
-    s_carry,  # VMEM (PIX, 1) suffix carry of the open tile
-    lt_carry,  # VMEM (PIX, 1) walked log-transmittance of the open tile
+    s_carry,  # VMEM (1, PIX) suffix carry of the open tile
+    lt_carry,  # VMEM (1, PIX) walked log-transmittance of the open tile
     gstate,  # SMEM (1,) lowest group started+waited so far
     sems,  # DMA (2,) fields
     gsems,  # DMA (TG_NGROUPS,) group ring
@@ -363,35 +381,29 @@ def backward_kernel(
     fast_grad: bool,
     probe: str = "",
 ):
-    """Packed backward: chunks run in REVERSE (suffix-carry ordering, see
-    tiles.backward_kernel). Per chunk, the flushed tiles' cotangents /
-    residuals are DMA'd in and broadcast-assembled into per-lane (PIX,
-    CHUNK) operands via the group masks; the trailing (open) group uses the
-    carried walk state instead of lt_final. Grad rows are written at the
-    chunk's own slot offset — the grad buffer is exactly slot-aligned.
+    """Packed backward, (CHUNK, PIX)-oriented (round 5): chunks run in
+    REVERSE (suffix-carry ordering, see tiles.backward_kernel); operands
+    put the chunk's 128 lanes on SUBLANES and the tile's 512 pixels on
+    LANES. That orientation makes every per-tile quantity a natural
+    (1, PIX) ROW of the tile's slim block — broadcast along sublanes is
+    free — so the per-tile read path is one dynamic-sublane slice of a
+    resident group block instead of round 4's dynamic lane-roll (the roll
+    class measured ~4.4 ms/frame via the nohead strip probe, ~1.1 us per
+    tile read, VPU-permute-bound). The price is ONE (NUM_FIELDS, CHUNK) ->
+    (CHUNK, NUM_FIELDS) in-kernel transpose per chunk for the per-lane
+    field columns (~325 ns/chunk measured, tools/dma_probe.py) — per-lane
+    EPILOGUE math (colsum outputs onward) stays in (1, CHUNK) rows straight
+    off fbuf, so only the alpha-path operands need columns.
 
-    DMA schedule: the FIRST flushed tile of chunk c-1 is prefetched into a
-    parity-indexed head buffer (htgbuf[(r+1) % 2]) at the top of chunk c's
-    body, a full chunk iteration early; deeper groups (rarer) keep the
-    on-demand ring with distance-2 starts inside the assemble loop.
-
-    Relayout discipline (measured: per-column `.T` slices of the tile
-    blocks cost ~6 ms/frame on the 1080p bench — lane->sublane relayouts
-    ride the VPU permute unit): each flushed tile's block is transposed
-    ONCE as a fused (TG_ROWS, PIX) -> (PIX, TG_ROWS) value; every operand
-    is then a natural (PIX, 1) column slice. The blocks are SLIM (8 rows,
-    only the used totals/cotangent data — the round-2 16-row layout's
-    flush loads+transposes measured ~8 ms/frame via the noflush strip
-    probe; halving the rows halves both). The open tile's state is kept
-    pre-transposed in tg_open, so the per-chunk operand init has no
-    relayout at all. (A pixel-major HBM layout would remove the per-flush
-    transpose too, but Mosaic requires HBM<->VMEM copies to have
-    128-aligned minor dims — TG_ROWS=8 is not DMA-able.)"""
+    Per chunk, the flushed tiles' cotangents / residuals are assembled into
+    per-lane (CHUNK, PIX) operands via group-masked select chains; the
+    trailing (open) group uses the carried walk state instead of lt_final.
+    Grad rows are written at the chunk's own slot offset — the grad buffer
+    is exactly slot-aligned."""
     r = pl.program_id(0)
     nchunks = meta_ref[0]  # = #active chunks (chunk-compacted walk)
     tile_start = meta_ref[1]
     tile_end = meta_ref[2]
-    cap_i = meta_ref[3]
     # the walk visits only ACTIVE chunks, in descending chunk order; the
     # carry handoff across a skipped (whole-chunk frozen) chunk is the
     # identity, so hopping over it is exact (the old in-kernel skip branch
@@ -407,8 +419,6 @@ def backward_kernel(
             fbuf.at[slot],
             sems.at[slot],
         )
-
-    glanes = GROUP_TILES * TG_ROWS
 
     def g_dma(g):
         # group blocks are indexed by LOCAL tile id under tile sharding
@@ -442,29 +452,16 @@ def backward_kernel(
             jax.lax.fori_loop(0, n_eff, wait, 0)
             gstate[0] = target
 
-    def tile_cols(t):
-        """(PIX, TG_ROWS) columns of tile t (global id) from the resident
-        group ring: one dynamic lane-roll + static slice. (An MXU one-hot
-        extraction was tried — 2-pass hi/lo exact — and was both SLOWER
-        (the pass sits on the per-flush critical path, not hidden) and
-        NaN-unsafe: 0 x garbage from a group's unflushed tiles poisons the
-        matmul sum on clamped frames, where the roll merely selects.)"""
+    def tile_rows(t):
+        """(TG_ROWS, PIX) rows of tile t (global id) from the resident
+        group ring: one dynamic-SUBLANE slice — native to the TPU memory
+        path (round 4's PIX-major layout needed a lane-roll here, which
+        serialized on the VPU permute unit)."""
         if probe == "nohead":
-            return jnp.zeros((PIX, TG_ROWS), jnp.float32)
+            return jnp.zeros((TG_ROWS, PIX), jnp.float32)
         lt = t - tile_start
-        blk = gbuf[(lt // GROUP_TILES) % TG_NGROUPS]
         off = (lt % GROUP_TILES) * TG_ROWS
-        rolled = pltpu.roll(blk, (glanes - off) % glanes, axis=1)
-        return rolled[:, :TG_ROWS]
-
-    def head_ng(i):
-        """#flushed tiles of chunk i (clamped to this device's ownership)."""
-        lo_i = jnp.maximum(tile_lo_ref[i], tile_start)
-        hi_i = jnp.minimum(tile_lo_ref[i + 1], tile_end)
-        ng_i = jnp.maximum(hi_i - lo_i, 0)
-        if probe == "noflush":
-            ng_i = ng_i * 0
-        return ng_i, lo_i
+        return gbuf[(lt // GROUP_TILES) % TG_NGROUPS, pl.ds(off, TG_ROWS), :]
 
     def w_dma(slot, i):
         return pltpu.make_async_copy(
@@ -475,11 +472,11 @@ def backward_kernel(
 
     @pl.when(r == 0)
     def _():
-        s_carry[...] = jnp.zeros((PIX, 1), jnp.float32)
-        lt_carry[...] = jnp.zeros((PIX, 1), jnp.float32)
+        s_carry[...] = jnp.zeros((1, PIX), jnp.float32)
+        lt_carry[...] = jnp.zeros((1, PIX), jnp.float32)
         # open-tile data: zeros (the tail "group" past the last sentinel is
         # invalid lanes only; their staged opacity is 0)
-        tg_open[...] = jnp.zeros((PIX, TG_ROWS), jnp.float32)
+        tg_open[...] = jnp.zeros((TG_ROWS, PIX), jnp.float32)
         dma(0, c).start()
         gstate[0] = tg_hbm.shape[0]  # nothing resident yet
 
@@ -499,44 +496,51 @@ def backward_kernel(
         if probe == "noflush":
             ng = ng * 0
         slot0 = c * CHUNK
-        # freeze state of the open tile rides its freeze column (whole-chunk
+        # freeze state of the open tile rides its freeze row (whole-chunk
         # frozen skips never reach here — XLA compacted them out of
         # chunk_map; partial freezes inside a flushing chunk are still
         # dead-masked per lane via frz_l below)
-        frz_open = tg_open[0, TG_FRZ]
+        frz_open = tg_open[TG_FRZ, 0]
 
         dma(r % 2, c).wait()
         f = fbuf[r % 2]
+        # the ONE per-chunk relayout: per-lane field COLUMNS for the
+        # (CHUNK, PIX) alpha path (the epilogue keeps using f's rows)
+        ft = f[...].T  # (CHUNK, NUM_FIELDS)
 
-        px, py = _local_pixel_coords()
-        grp = _group_ids(f, lo)
-        tid = f[TID_ROW : TID_ROW + 1, :]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-        slot_lane = (slot0 + lane).astype(jnp.float32)
+        # tile-local pixel coordinates as (1, PIX) rows
+        pix = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+        px = (pix % TILE_X).astype(jnp.float32)
+        py = (pix // TILE_X).astype(jnp.float32)
 
-        # ---- per-lane tile data: disjoint-group SELECT chains (round 4).
-        # The former mask-multiply-accumulate (q += col * mask, 2 full
-        # (PIX, CHUNK) VPU ops per quantity per group, ~24 per flushing
-        # chunk) is replaced by where() selects: the trailing/open tile's
-        # value is the chain's broadcast start (covers grp == ng and dead
-        # lanes harmlessly — every consumer is gated by alpha = 0 there),
-        # and each flushed group overwrites its own lanes. Bit-exact: the
-        # group masks are disjoint and complete, so select == sum-of-masked.
-        # chain starts are (PIX, 1) columns / scalars — the first where()
-        # broadcasts them against its (1, CHUNK) mask for free
-        gc0 = tg_open[:, TG_GC + 0 : TG_GC + 1]
-        gc1 = tg_open[:, TG_GC + 1 : TG_GC + 2]
-        gc2 = tg_open[:, TG_GC + 2 : TG_GC + 3]
+        lof = jnp.float32(1.0) * lo.astype(jnp.float32)
+        grp_c = ft[:, TID_ROW : TID_ROW + 1] - lof  # (CHUNK, 1)
+        grp_r = f[TID_ROW : TID_ROW + 1, :] - lof  # (1, CHUNK)
+        tid_c = ft[:, TID_ROW : TID_ROW + 1]
+        lane_c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+        slot_c = (slot0 + lane_c).astype(jnp.float32)
+
+        # ---- per-lane tile data: disjoint-group SELECT chains. The
+        # trailing/open tile's value is the chain's broadcast start (covers
+        # grp == ng and dead lanes harmlessly — every consumer is gated by
+        # alpha = 0 there), and each flushed group overwrites its own
+        # sublanes. Bit-exact: the group masks are disjoint and complete,
+        # so select == sum-of-masked. Chain starts are (1, PIX) rows /
+        # scalars — the first where() broadcasts them against its
+        # (CHUNK, 1) mask for free.
+        gc0 = tg_open[TG_GC + 0 : TG_GC + 1, :]
+        gc1 = tg_open[TG_GC + 1 : TG_GC + 2, :]
+        gc2 = tg_open[TG_GC + 2 : TG_GC + 3, :]
         gtt = (
-            tg_open[:, TG_GT : TG_GT + 1]
-            * tg_open[:, TG_EXP_LT : TG_EXP_LT + 1]
+            tg_open[TG_GT : TG_GT + 1, :]
+            * tg_open[TG_EXP_LT : TG_EXP_LT + 1, :]
         )
         # trailing lanes use the WALKED carry, not lt_final
         lte = lt_carry[...]
         frz_l = frz_open
         # scar stays masked (it must be ZERO off the trailing group: it
         # adds into s_all rather than selecting a lane's source)
-        scar = s_carry[...] * (grp == ng.astype(jnp.float32))
+        scar = (grp_c == ng.astype(jnp.float32)) * s_carry[...]
 
         # ---- head (group 0): only flush chunks touch the group ring (the
         # combined slide starts + waits exactly the groups the chunk's tile
@@ -549,27 +553,27 @@ def backward_kernel(
             t0h = jnp.clip(lo, tile_start, tile_end - 1)
             if probe != "nohead":
                 ensure_resident((t0h - tile_start) // GROUP_TILES)
-            return tile_cols(t0h)
+            return tile_rows(t0h)
 
         if probe == "nohead":  # timing probe: no group reads at all
-            tgT0 = jnp.zeros((PIX, TG_ROWS), jnp.float32)
+            tgT0 = jnp.zeros((TG_ROWS, PIX), jnp.float32)
         else:
             tgT0 = jax.lax.cond(
                 ng >= 1,
                 _head_read,
-                lambda: jnp.zeros((PIX, TG_ROWS), jnp.float32),
+                lambda: jnp.zeros((TG_ROWS, PIX), jnp.float32),
             )
-        m0b = (grp == 0.0) & (ng >= 1)
-        gc0 = jnp.where(m0b, tgT0[:, TG_GC + 0 : TG_GC + 1], gc0)
-        gc1 = jnp.where(m0b, tgT0[:, TG_GC + 1 : TG_GC + 2], gc1)
-        gc2 = jnp.where(m0b, tgT0[:, TG_GC + 2 : TG_GC + 3], gc2)
+        m0b = (grp_c == 0.0) & (ng >= 1)
+        gc0 = jnp.where(m0b, tgT0[TG_GC + 0 : TG_GC + 1, :], gc0)
+        gc1 = jnp.where(m0b, tgT0[TG_GC + 1 : TG_GC + 2, :], gc1)
+        gc2 = jnp.where(m0b, tgT0[TG_GC + 2 : TG_GC + 3, :], gc2)
         gtt = jnp.where(
             m0b,
-            tgT0[:, TG_GT : TG_GT + 1] * tgT0[:, TG_EXP_LT : TG_EXP_LT + 1],
+            tgT0[TG_GT : TG_GT + 1, :] * tgT0[TG_EXP_LT : TG_EXP_LT + 1, :],
             gtt,
         )
-        lte = jnp.where(m0b, tgT0[:, TG_LT : TG_LT + 1], lte)
-        frz_l = jnp.where(m0b, tgT0[0:1, TG_FRZ : TG_FRZ + 1], frz_l)
+        lte = jnp.where(m0b, tgT0[TG_LT : TG_LT + 1, :], lte)
+        frz_l = jnp.where(m0b, tgT0[TG_FRZ : TG_FRZ + 1, 0:1], frz_l)
 
         # rotate the open-tile state (chunk c-1's trailing tile is this
         # chunk's group 0) — only when group 0 actually flushed here
@@ -579,18 +583,18 @@ def backward_kernel(
 
         def assemble(g, ops):
             gc0, gc1, gc2, gtt, lte, frz_l = ops
-            tgT = tile_cols(lo + g)  # resident: span <= TG_NGROUPS - 2
-            mg = (grp == g.astype(jnp.float32))
-            gc0 = jnp.where(mg, tgT[:, TG_GC + 0 : TG_GC + 1], gc0)
-            gc1 = jnp.where(mg, tgT[:, TG_GC + 1 : TG_GC + 2], gc1)
-            gc2 = jnp.where(mg, tgT[:, TG_GC + 2 : TG_GC + 3], gc2)
+            tgT = tile_rows(lo + g)  # resident: span <= TG_NGROUPS - 2
+            mg = (grp_c == g.astype(jnp.float32))
+            gc0 = jnp.where(mg, tgT[TG_GC + 0 : TG_GC + 1, :], gc0)
+            gc1 = jnp.where(mg, tgT[TG_GC + 1 : TG_GC + 2, :], gc1)
+            gc2 = jnp.where(mg, tgT[TG_GC + 2 : TG_GC + 3, :], gc2)
             gtt = jnp.where(
                 mg,
-                tgT[:, TG_GT : TG_GT + 1] * tgT[:, TG_EXP_LT : TG_EXP_LT + 1],
+                tgT[TG_GT : TG_GT + 1, :] * tgT[TG_EXP_LT : TG_EXP_LT + 1, :],
                 gtt,
             )
-            lte = jnp.where(mg, tgT[:, TG_LT : TG_LT + 1], lte)
-            frz_l = jnp.where(mg, tgT[0:1, TG_FRZ : TG_FRZ + 1], frz_l)
+            lte = jnp.where(mg, tgT[TG_LT : TG_LT + 1, :], lte)
+            frz_l = jnp.where(mg, tgT[TG_FRZ : TG_FRZ + 1, 0:1], frz_l)
             return gc0, gc1, gc2, gtt, lte, frz_l
 
         gc0, gc1, gc2, gtt, lte, frz_l = jax.lax.fori_loop(
@@ -599,35 +603,52 @@ def backward_kernel(
 
         def compute():
             # ---- alpha with deadness folded into opacity (matches fwd;
-            # grp < 0 impossible — see the forward kernel's dead comment)
-            dead = tid >= jnp.float32(1.0) * tile_end
-            dead = dead | (slot_lane >= frz_l)
-            op_eff = jnp.where(dead, 0.0, f[5:6, :])
-            op = jnp.maximum(op_eff, 1e-12)
-            dx, dy, alpha, capped = _chunk_alpha_packed(f, px, py, op_eff)
-            a2 = f[2:3, :]
-            b2 = f[3:4, :]
-            c2 = f[4:5, :]
-            colors = f[6:9, :]
+            # grp < 0 impossible — see the forward kernel's dead comment).
+            # Column orientation: instances on sublanes, pixels on lanes.
+            dead_c = tid_c >= jnp.float32(1.0) * tile_end
+            dead_c = dead_c | (slot_c >= frz_l)
+            op_eff_c = jnp.where(dead_c, 0.0, ft[:, 5:6])
+            x_c = ft[:, 0:1]
+            y_c = ft[:, 1:2]
+            a2_c = ft[:, 2:3]
+            b2_c = ft[:, 3:4]
+            c2_c = ft[:, 4:5]
+            dx = x_c - px  # (CHUNK, PIX)
+            dy = y_c - py
+            power = jnp.minimum(
+                (a2_c * dx + b2_c * dy) * dx + (c2_c * dy) * dy, 0.0
+            )
+            raw = op_eff_c * jnp.exp(power)
+            capped = raw > MAX_ALPHA
+            alpha = jnp.minimum(MAX_ALPHA, raw)
+            alpha = jnp.where(raw >= MIN_ALPHA, alpha, 0.0)
 
             tlog = jnp.log1p(-alpha)
-            strictM, upperM = _masked_tris(grp, probe)
+            # group-masked triangular matrices for LEFT-multiplication:
+            # out[i, p] = sum_j M[i, j] * x[j, p]; the strict suffix mask is
+            # M[i, j] = (j > i) & same-group. Entries 0/1 = exactly bf16,
+            # so the 2-pass hi/lo split stays exact (tiles._tri_dot).
+            row_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+            col_j = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+            same = grp_c == grp_r  # (CHUNK, 1) vs (1, CHUNK) — no relayout
+            sufM = ((col_j > row_i) & same).astype(jnp.float32)
             # entering log-transmittance: walk back from each lane's group
             # end (lt_final for flushed groups, the carried walk for the
             # trailing group) through the group-masked inclusive suffix
-            suf_in = _tri_dot(tlog, upperM) + tlog
+            suf_in = _tri_dot_left(sufM, tlog) + tlog
             pre = lte - suf_in
             live = pre + tlog >= LOG_STOP_T
             t_in = jnp.exp(pre)
             one_m = 1.0 - alpha
             wgt = jnp.where(live, alpha * t_in, 0.0)
 
-            gc_dot_c = (
-                gc0 * colors[0:1, :] + gc1 * colors[1:2, :] + gc2 * colors[2:3, :]
-            )
+            c0_c = ft[:, 6:7]
+            c1_c = ft[:, 7:8]
+            c2c_c = ft[:, 8:9]
+            gc_dot_c = gc0 * c0_c + gc1 * c1_c + gc2 * c2c_c
             gwc = wgt * gc_dot_c
-            suffix_dot = _tri_dot_1pass if fast_grad else _tri_dot
-            suf = suffix_dot(gwc, upperM)
+            suffix_dot = _tri_dot_left_1pass if fast_grad else _tri_dot_left
+            suf = suffix_dot(sufM, gwc)
             s_all = suf + scar + gtt
 
             g_power = gwc - s_all * (alpha / one_m)
@@ -636,7 +657,16 @@ def backward_kernel(
             ones_row = jnp.ones((1, PIX), jnp.float32)
 
             def colsum(x):
-                return jnp.dot(ones_row, x, preferred_element_type=jnp.float32)
+                # (CHUNK, PIX) -> (1, CHUNK): contract the pixel lanes of
+                # both operands (Mosaic-native transposed-RHS matmul) so
+                # the per-lane epilogue lands in ROW orientation — the
+                # grad output block assembles with no relayout at all
+                return jax.lax.dot_general(
+                    ones_row,
+                    x,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
             if not fast_grad:
                 colsum_1 = colsum
@@ -645,9 +675,10 @@ def backward_kernel(
                     hi_ = x.astype(jnp.bfloat16).astype(jnp.float32)
                     return colsum_1(hi_) + colsum_1(x - hi_)
 
-            # per-lane color grads: g_rgb[ch, i] = sum_p GC_ch[p,i] wgt[p,i]
+            # per-lane color grads: g_rgb[ch, i] = sum_p GC_ch[i,p] wgt[i,p]
             g_rgb = jnp.concatenate(
-                [colsum(gc0 * wgt), colsum(gc1 * wgt), colsum(gc2 * wgt)], axis=0
+                [colsum(gc0 * wgt), colsum(gc1 * wgt), colsum(gc2 * wgt)],
+                axis=0,
             )
 
             gdx = g_power * dx
@@ -658,39 +689,52 @@ def backward_kernel(
             mxx = colsum(gdx * dx)
             mxy = colsum(gdx * dy)
             myy = colsum(gdy * dy)
+            # epilogue in (1, CHUNK) rows straight off fbuf — no transpose
+            a2 = f[2:3, :]
+            b2 = f[3:4, :]
+            c2 = f[4:5, :]
+            op = jnp.maximum(
+                jnp.where(
+                    (f[TID_ROW : TID_ROW + 1, :] >= jnp.float32(1.0) * tile_end),
+                    0.0,
+                    f[5:6, :],
+                ),
+                1e-12,
+            )
             g_x = 2.0 * a2 * mx + b2 * my
             g_y = 2.0 * c2 * my + b2 * mx
             g_op = s0 / op
 
-            if probe == "stash":  # debug: export walk internals (pixel 0)
-                dbg = [lte[0:1, :], pre[0:1, :], frz_l * jnp.ones((1, CHUNK)),
-                       jnp.zeros((NUM_FIELDS - 12, CHUNK), jnp.float32)]
-            else:
-                # row PRESORT_ROW: the lane's pre-sort slot (staged in
-                # fields row OFFSET_ROW; cap_total on dead lanes) — lets a
-                # tile-sharded device reduce its LOCAL grad slice with the
-                # partial_coverage reducer instead of the global perm
-                dbg = [
-                    f[OFFSET_FIELD_ROW : OFFSET_FIELD_ROW + 1, :],
-                    jnp.zeros((NUM_FIELDS - 10, CHUNK), jnp.float32),
-                ]
+            # row PRESORT_ROW: the lane's pre-sort slot (staged in fields
+            # row OFFSET_ROW; cap_total on dead lanes) — lets a
+            # tile-sharded device reduce its LOCAL grad slice with the
+            # partial_coverage reducer instead of the global perm
+            dbg = [
+                f[OFFSET_FIELD_ROW : OFFSET_FIELD_ROW + 1, :],
+                jnp.zeros((NUM_FIELDS - 10, CHUNK), jnp.float32),
+            ]
             gout_rows = jnp.concatenate(
                 [g_x, g_y, mxx, mxy, myy, g_op, g_rgb] + dbg, axis=0
             )
 
             # ---- carries for chunk c-1 (chunk c-1's trailing tile is this
-            # chunk's group 0). Lane 0 belongs to group 0 for EVERY possible
-            # layout — including a tile segment ending exactly at the chunk
-            # boundary, whose sentinel then lands on lane 0 — because
-            # sentinels carry their REAL tile id (Binning.tid_sorted). With
-            # num_tiles-tagged sentinels, pre[lane 0] read a dead lane's 0
-            # there and silently corrupted the previous chunk's trailing
-            # gradients (found by tools/verify_tpu.py on hardware; CPU
-            # binning never produced that layout).
-            m0 = (grp == 0.0)
+            # chunk's group 0). Sublane 0 belongs to group 0 for EVERY
+            # possible layout — including a tile segment ending exactly at
+            # the chunk boundary, whose sentinel then lands on lane 0 —
+            # because sentinels carry their REAL tile id
+            # (Binning.tid_sorted). With num_tiles-tagged sentinels,
+            # pre[lane 0] read a dead lane's 0 there and silently corrupted
+            # the previous chunk's trailing gradients (found by
+            # tools/verify_tpu.py on hardware).
+            m0 = (grp_c == 0.0)
             sel0 = jnp.where(ng == 0, 1.0, 0.0)
-            new_s = _row_sum(gwc * m0) + sel0 * s_carry[...]
-            new_lt = pre[:, 0:1]
+            # exact f32 sublane reduction (the lane-reduction _row_sum of
+            # the old orientation becomes a cheaper sublane sum here)
+            new_s = (
+                jnp.sum(gwc * m0, axis=0, keepdims=True)
+                + sel0 * s_carry[...]
+            )
+            new_lt = pre[0:1, :]
             return gout_rows, new_s, new_lt
 
         # no skip branch: whole-chunk frozen skips were compacted out of

@@ -90,7 +90,11 @@ def run_vq(model_p, opt_p, pipe_p, comp_p):
     # zero-egress environments — eval/lpips.py)
     from c3dgs_tpu.eval import lpips as lpips_mod
 
-    lpips_fn = lpips_mod.LPIPS() if lpips_mod.available() else None
+    if lpips_mod.available():
+        lpips_fn = lpips_mod.LPIPS()
+    else:
+        lpips_fn = None
+        print(lpips_mod.unavailable_hint())
     results = render_and_eval(
         compressed, eval_cams, npz_path=npz_path, lpips_fn=lpips_fn
     )

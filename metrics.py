@@ -19,11 +19,11 @@ def evaluate(model_paths, lpips_net="vgg"):
 
     from PIL import Image
 
-    lpips_fn = (
-        lpips_mod.LPIPS(net_type=lpips_net)
-        if lpips_mod.available(net_type=lpips_net)
-        else None
-    )
+    if lpips_mod.available(net_type=lpips_net):
+        lpips_fn = lpips_mod.LPIPS(net_type=lpips_net)
+    else:
+        lpips_fn = None
+        print(lpips_mod.unavailable_hint(lpips_net))
 
     def read(p):
         arr = np.asarray(Image.open(p)).astype(np.float32) / 255.0
@@ -58,6 +58,8 @@ def evaluate(model_paths, lpips_net="vgg"):
                 "PSNR": float(np.mean(psnrs)) if psnrs else None,
                 "LPIPS": float(np.mean(lpipss)) if lpipss else None,
             }
+            if lpips_fn is None:
+                result["LPIPS_reason"] = lpips_mod.UNAVAILABLE_REASON
             full[name] = result
             print(f"  {name}: {result}")
             with open(os.path.join(model_path, "per_view.json"), "w") as f:

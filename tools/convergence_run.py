@@ -108,7 +108,10 @@ def main():
         "--no_compress", action="store_true",
         help="train + held-out eval only (multi-seed robustness runs prove "
         "ADC-schedule convergence; the compression stage is the headline "
-        "run's job)",
+        "run's job). NOTE: non---no_compress runs apply the HEADLINE "
+        "compression config (2^11 codebooks, raised keep-quantiles, 3000 "
+        "finetune iters), not compress.py's defaults — pass --no_compress "
+        "for --seed/--out_root robustness runs unless that is intended",
     )
     args = ap.parse_args()
 
@@ -179,11 +182,24 @@ def main():
             ]
         )
     if args.no_compress:
-        log = [
-            json.loads(l)
-            for l in open(os.path.join(MODEL, "train_log.jsonl"))
-        ]
+        # resume path guard (ADVICE r4): a pre-existing model dir may have
+        # no train_log.jsonl (or one trained without --eval)
+        log_path = os.path.join(MODEL, "train_log.jsonl")
+        if not os.path.exists(log_path):
+            print(
+                "(--no_compress) train_log.jsonl missing — the model was "
+                "trained elsewhere; re-run with C3DGS_FORCE_RETRAIN=1 to "
+                "regenerate the eval curve"
+            )
+            return
+        log = [json.loads(l) for l in open(log_path)]
         evals = [e for e in log if "test_psnr" in e]
+        if not evals:
+            print(
+                "(--no_compress) no held-out eval entries — the model was "
+                "trained without --eval; re-run with C3DGS_FORCE_RETRAIN=1"
+            )
+            return
         print("(--no_compress) held-out eval curve:")
         for e in evals:
             print(
