@@ -129,10 +129,15 @@ def main():
     grads = step(*args)
     float(jnp.sum(grads[0]))
 
-    iters = int(os.environ.get("C3DGS_BENCH_ITERS", 10))
+    iters = int(os.environ.get("C3DGS_BENCH_ITERS", 30))
     blocks = int(os.environ.get("C3DGS_BENCH_BLOCKS", 3))
     # best-of-blocks: tunnel dispatch adds multi-ms noise to any single
-    # timed block; the minimum is the reproducible device-bound figure
+    # timed block; the minimum is the reproducible device-bound figure.
+    # 30-frame blocks: the block-edge cost (dispatch ramp + the final
+    # readback round-trip, ~19 ms/block through the tunnel) amortizes to
+    # <1 ms/frame — at 10 frames it inflated every frame by ~2.8 ms
+    # (measured round 5; the marginal frame cost matches the xprof
+    # device total)
     best = float("inf")
     for _ in range(blocks):
         t0 = time.perf_counter()

@@ -203,11 +203,10 @@ class Binning(NamedTuple):
     # CHUNK real instances; no boundary-chunk cover)
     grad_base: jax.Array  # (T,) int32 128-aligned grad-buffer offset
     grad_total: jax.Array  # () int32 total grad slots written
-    emit_cum: jax.Array  # (N,) int32 inclusive prefix of per-gaussian emits
+    emit_cum: jax.Array  # (N,) int32 inclusive prefix of per-gaussian
+    # emits — ALSO the grad-reduction segment boundaries (culled emissions
+    # ride the gaussian-major perm with exact-zero grad rows, round 5)
     offset: jax.Array  # (N,) int32 first emission slot (emit_cum - emit)
-    boundary_cum: jax.Array  # (N,) int32 inclusive prefix of per-gaussian
-    # KEPT (post-cull) instances — the grad-reduction segment boundaries
-    # under full tile coverage (rasterizer._reduce_instance_grads)
     num_instances: jax.Array  # () int32 true emitted instances
     overflow: jax.Array  # () int32 instances dropped (capacity)
     grad_overflow: jax.Array  # () int32 grad slots beyond grad capacity
@@ -309,12 +308,19 @@ def _enumerate_slots(
         | jnp.where(keep, rows[:, 4].astype(jnp.uint32), 0)
     ).astype(jnp.int32)
     # ONE packed payload: (gid << j_bits) | j. Sentinels carry gid = n + t;
-    # invalid/culled rows carry gid = n + T (their keys sort past
-    # everything, and the >= n high bits flag them as non-real alongside
-    # sentinels).
+    # invalid rows carry gid = n + T (their keys sort past everything, and
+    # the >= n high bits flag them as non-real alongside sentinels).
+    # CULLED rows (round 5) keep their REAL payload: their key already
+    # parks them in the dead tile-T region past every sentinel, but a real
+    # (gid, j) makes the gaussian-major perm sort order ALL emissions —
+    # so the grad reduction segments directly at emit_cum and the former
+    # boundary_cum rank pass (2 cap+N-row sorts, ~1.1 ms/frame at 1080p)
+    # disappears from the packed path. Culled slots' grad rows are exact
+    # zeros: executed ones are dead lanes (tid = T), unexecuted ones are
+    # masked by position in the reducer.
     pj = (gid_safe << j_bits) | j
-    pj = jnp.where(keep, pj, (n + num_tiles) << j_bits)
-    return key, pj
+    pj = jnp.where(valid, pj, (n + num_tiles) << j_bits)
+    return key, pj, jnp.sum((valid & ~keep).astype(jnp.int32))
 
 
 def bin_gaussians(
@@ -338,9 +344,7 @@ def bin_gaussians(
 
     g_table = _instance_table(prep, cum, emit, num_tiles)
     slots = jnp.arange(cap, dtype=jnp.int32)
-    key, pj = _enumerate_slots(g_table, cum, total, slots, n, settings)
-    valid = slots < total
-    keep = pj < (n << j_bits)
+    key, pj, culled = _enumerate_slots(g_table, cum, total, slots, n, settings)
     db = DEPTH_BITS(num_tiles)
     levels = jnp.uint32((1 << db) - 1)
     t_ids = jnp.arange(num_tiles, dtype=jnp.int32)
@@ -377,8 +381,8 @@ def bin_gaussians(
     # sentinel rows sort in tile order (their keys ascend with tile), so
     # their positions in ascending order ARE ends[0..T). Decoupling this
     # from the gaussian-major perm sort below lets a forward-only graph
-    # (inference) DCE the 2-key perm sort + the boundary rank pass
-    # entirely — they exist only for the backward's grad reduction.
+    # (inference) DCE the 2-key perm sort entirely — it exists only for
+    # the backward's grad reduction.
     pos_c = jnp.arange(cap, dtype=jnp.int32)
     (sent_packed,) = jax.lax.sort(
         (jnp.where(is_sent, pos_c, (1 << 24) | pos_c),),
@@ -390,23 +394,18 @@ def bin_gaussians(
     counts = ends - starts
 
     # ---- gaussian-major permutation (backward only): ordering slots by
-    # payload puts kept rows first (pj < n<<j), then the T sentinels in
-    # tile order, then invalid.
-    pj_gm, perm = jax.lax.sort(
+    # payload puts EVERY emission (kept AND culled — culled keep their
+    # real payload, see _enumerate_slots) in gaussian-major order, then
+    # the T sentinels in tile order, then invalid. The grad reduction
+    # therefore segments directly at emit_cum: culled emissions gather
+    # exact-zero grad rows (dead lanes in executed chunks, position-masked
+    # past them), so no kept-only boundary prefix is needed — the round-4
+    # boundary_cum rank pass (2 sorts over cap + N rows, ~1.1 ms/frame at
+    # 1080p) is gone.
+    _, perm = jax.lax.sort(
         (pj_s, jnp.arange(cap, dtype=jnp.int32)), num_keys=2, is_stable=False
     )
     perm = _ob(perm)
-
-    # grad-reduction boundaries under full coverage: boundary_cum[i] =
-    # #{kept instances with gid <= i} (culled instances never reach the
-    # grad buffer, so the gaussian-major grad rows compact past them and
-    # slot-domain boundaries would misattribute). One rank pass over the
-    # perm key output's gid bits replaces the former kept-prefix cumsum +
-    # N-row gather (which cost ~2.1 ms/frame at 1080p).
-    gid_gm = pj_gm >> j_bits  # ascending; sentinels/invalid >= n at tail
-    boundary_cum = _rank_in_sorted(gid_gm, jnp.arange(n, dtype=jnp.int32))
-    kept_total = boundary_cum[-1]
-    culled = jnp.minimum(total, cap) - kept_total
 
     # ---- kernel iteration counts + grad layout: one CHUNK window per
     # CHUNK real instances (the kernels roll-shift the unaligned segment)
@@ -436,7 +435,6 @@ def bin_gaussians(
         grad_total=grad_total.astype(jnp.int32),
         emit_cum=cum.astype(jnp.int32),
         offset=(cum - emit).astype(jnp.int32),
-        boundary_cum=boundary_cum.astype(jnp.int32),
         num_instances=total.astype(jnp.int32),
         overflow=overflow.astype(jnp.int32),
         grad_overflow=grad_overflow.astype(jnp.int32),
@@ -549,7 +547,7 @@ def bin_gaussians_routed(
     # gather); the final per-tile order is unchanged — it is the total
     # (key, payload) order, independent of which device enumerated a slot.
     slots = d + jnp.arange(cap_l, dtype=jnp.int32) * shard_num
-    key, pj = _enumerate_slots(g_table, cum, total, slots, n, settings)
+    key, pj, _ = _enumerate_slots(g_table, cum, total, slots, n, settings)
 
     # ---- 2. local sort: ascending tiles partition the rows by destination
     key_l, pj_l = jax.lax.sort((key, pj), num_keys=2, is_stable=False)

@@ -4,9 +4,9 @@ XLA needs static shapes, but num_rendered varies per frame (the reference
 reads it back and allocates dynamically, rasterizer_impl.cu:279). Binning
 cost scales with the static capacity, so over-provisioning is pure waste.
 This policy keeps capacity in geometric buckets of the form m * 2^e with a
-4-bit mantissa (m in 8..15): at most 14.3% overshoot (power-of-2 buckets
+5-bit mantissa (m in 16..31): at most 6.7% overshoot (power-of-2 buckets
 waste up to 2x, and every binning gather/sort scales with capacity), while
-still bounding distinct compiled shapes to ~4 per octave. Grow when a frame
+still bounding distinct compiled shapes to ~8 per octave. Grow when a frame
 overflows (and re-render it), shrink one mantissa step when sustained usage
 falls well below the bucket.
 """
@@ -65,7 +65,7 @@ class CapacityPolicy:
         elif need < self.capacity * 3 // 4 and self.capacity > MIN_CAPACITY:
             self._low_count += 1
             if self._low_count >= self.shrink_patience:
-                e = max(int(self.capacity).bit_length() - 4, 0)
+                e = max(int(self.capacity).bit_length() - 5, 0)
                 self.capacity = max(self.capacity - (1 << e), MIN_CAPACITY)
                 self._low_count = 0
         else:
@@ -84,7 +84,7 @@ class CapacityPolicy:
             elif need_g < self.grad_capacity * 3 // 4:
                 self._grad_low += 1
                 if self._grad_low >= self.shrink_patience:
-                    e = max(int(self.grad_capacity).bit_length() - 4, 0)
+                    e = max(int(self.grad_capacity).bit_length() - 5, 0)
                     self.grad_capacity = max(
                         self.grad_capacity - (1 << e), MIN_CAPACITY
                     )
@@ -95,9 +95,12 @@ class CapacityPolicy:
 
 
 def _bucket(x: int) -> int:
-    """Smallest m * 2^e >= x with mantissa m in 8..15 (4 bucket steps per
-    octave, <=14.3% overshoot)."""
+    """Smallest m * 2^e >= x with a 5-bit mantissa m in 16..31 (8 bucket
+    steps per octave, <=6.7% overshoot — round 5: every binning gather,
+    sort, and kernel grid scales with the bucket, and the 4-bit mantissa's
+    up-to-14.3% slack measured ~1 ms/frame on the 1080p bench; the extra
+    compiled shapes stay bounded by shrink_patience)."""
     if x <= 1:
         return 1
-    e = max(int(x - 1).bit_length() - 4, 0)
+    e = max(int(x - 1).bit_length() - 5, 0)
     return -(-x // (1 << e)) << e

@@ -207,7 +207,7 @@ def _blend_backward_call_packed(
             pltpu.VMEM((2, NUM_FIELDS, CHUNK), jnp.float32),  # wbuf
             pltpu.VMEM((1, tiles.PIX), jnp.float32),  # s_carry
             pltpu.VMEM((1, tiles.PIX), jnp.float32),  # lt_carry
-            pltpu.SMEM((1,), jnp.int32),  # gstate
+            pltpu.SMEM((2,), jnp.int32),  # gstate: [resident lo, prefetched]
             pltpu.SemaphoreType.DMA((2,)),  # fields
             pltpu.SemaphoreType.DMA((tiles_packed.TG_NGROUPS,)),  # groups
             pltpu.SemaphoreType.DMA((2,)),  # grad writes
@@ -275,12 +275,14 @@ def _reduce_instance_grads_packed(
     The packed kernels write one grad row per SORTED SLOT, so the
     gaussian-major reordering is the precomputed binning permutation (one
     int32 sort there replaces the round-1 reduction's f32 (key, pos) sort
-    here); per-gaussian sums are prefix differences at the kept-instance
-    boundaries (error-compensated when `compensated` — exact-grad mode).
-    The grad buffer may be SHORTER than the slot domain (execution
-    capacity): every kept slot lies below chunks_exec*CHUNK <= exec_cap
-    whenever grad_overflow == 0, so slicing perm to exec_cap positions
-    loses nothing; rows past kept_total (or perm entries past the buffer
+    here); per-gaussian sums are prefix differences at the EMISSION
+    boundaries (emit_cum — culled emissions ride the permutation with
+    exact-zero grad rows, so no kept-only prefix is needed;
+    error-compensated when `compensated` — exact-grad mode). The grad
+    buffer may be SHORTER than the slot domain (execution capacity):
+    every kept slot lies below chunks_exec*CHUNK <= exec_cap whenever
+    grad_overflow == 0, so slicing perm to exec_cap positions loses
+    nothing; rows past the emitted total (or perm entries past the buffer
     on an overflowing frame) are masked before the cumsum."""
     live = NUM_USED_FIELDS
     n = boundaries.shape[0]
@@ -288,10 +290,10 @@ def _reduce_instance_grads_packed(
     rows_all = _ob(grads.T)  # (exec_cap, NUM_FIELDS)
     p = perm[:rows]
     d_pre = _ob(rows_all[jnp.minimum(p, rows - 1)])[:, :live]
-    kept_total = boundaries[-1]
+    emit_total = boundaries[-1]
     idx = jnp.arange(rows, dtype=jnp.int32)
     d_pre = jnp.where(
-        ((idx < kept_total) & (p < rows))[:, None], d_pre, 0.0
+        ((idx < emit_total) & (p < rows))[:, None], d_pre, 0.0
     )
     seg = _segment_prefix_diff(d_pre, boundaries, boundaries > 0, compensated)
     return jnp.concatenate(
@@ -471,15 +473,13 @@ def _reduce_instance_grads(
     kernels already sentinel-tag (and zero) foreign/dead lanes inside
     covered chunks.
 
-    Boundaries: with full coverage every KEPT instance (binning's
-    ellipse-tile cull drops dead corner instances) is present exactly once,
-    so the sorted rows compact to slot order and the per-gaussian boundary
-    COUNTS are binning.boundary_cum (kept-instance prefix), passed here as
-    `boundaries`. Under tile sharding (partial_coverage=True) this device
-    holds only its tiles' instances — `boundaries` is then the slot-domain
-    emit_cum, and the per-device count #{covered slots <= emit_cum[i]-1}
-    is recovered with one rank pass over the already-sorted keys (which
-    also absorbs the cull's compaction).
+    Boundaries: `boundaries` is always the slot-domain emit_cum; the
+    per-device count #{covered slots <= emit_cum[i]-1} is recovered with
+    one rank pass over the already-sorted keys, which absorbs both the
+    cull's compaction and (under tile sharding) the device's partial
+    coverage — since round 5 every caller uses this mode (the packed
+    default reduces via the precomputed perm instead,
+    _reduce_instance_grads_packed).
 
     Precision note: the raw prefix-difference introduces O(eps * |prefix|)
     absolute error per gaussian (vs exact per-segment addition) — up to
@@ -540,11 +540,10 @@ def blend_gaussians(
     bookkeeping: tuple (gid_sorted, j_sorted, starts, ends, nchunks,
       grad_base, boundaries) — `starts..grad_base` sliced per device when
       the tile grid is sharded; gid_sorted/j_sorted/boundaries always
-      global. `boundaries` is binning.boundary_cum (kept-instance counts)
-      under full coverage, binning.emit_cum (slot domain) under sharding.
-    partial_coverage: True when this call blends only a slice of the tile
-      grid (tile sharding), so the VJP must recover per-device gaussian
-      boundaries by ranking slot-domain emit_cum against the sorted keys.
+      global. `boundaries` is binning.emit_cum (slot domain).
+    partial_coverage: True when the VJP must recover per-device gaussian
+      boundaries by ranking slot-domain emit_cum against the sorted keys —
+      since round 5 that is every caller (exact under full coverage too).
     tile_ids maps grid index -> global tile id (identity when unsharded).
     grad_range: (lo, hi) coverage of this call's grad writes.
     """
@@ -699,7 +698,7 @@ def render(
                 binning.tile_lo[: nc_exec + 1],
                 meta,
                 binning.perm,
-                binning.boundary_cum,
+                binning.emit_cum,
             ),
         )
         # SOFT clamp: tiles whose sentinel fell beyond the executed chunks
@@ -734,12 +733,17 @@ def render(
             "clipped": binning.clipped,
             "culled": binning.culled,
         }
+    # legacy per-tile kernels: full coverage, but the reducer runs in
+    # partial_coverage mode since round 5 — the kept-only boundary prefix
+    # (boundary_cum) is gone from Binning (the packed default no longer
+    # needs it), and the rank recovery inside the VJP is exact under any
+    # coverage including full
     out_tiles = blend_gaussians(
         settings.tiles_x,
         settings.num_tiles,
         cap,
         grad_cap,
-        False,
+        True,
         settings.fast_grad,
         table,
         (
@@ -749,7 +753,7 @@ def render(
             binning.ends,
             binning.nchunks,
             binning.grad_base,
-            binning.boundary_cum,
+            binning.emit_cum,
         ),
         jnp.arange(settings.num_tiles, dtype=jnp.int32),
         (jnp.int32(0), binning.grad_total),

@@ -432,16 +432,34 @@ def backward_kernel(
         distinct ring slots per slide, so no slot is double-started; a
         jump farther than the ring skips the groups that would be
         immediately overwritten (they are above the current chunk's read
-        span by construction)."""
+        span by construction). gstate[1] tracks a group whose DMA was
+        already PREFETCHED (started, not waited) at the end of the
+        previous chunk — the slide skips its start but still waits it,
+        so the common streaming step pays only a (hidden) wait."""
         gs = gstate[0]
+        hstate = gstate[1]
+        # fast path — the streaming step: exactly the next-lower group,
+        # already prefetched. One semaphore wait, no scalar loops.
+        fast = (gs - 1 == target) & (hstate == target)
 
-        @pl.when(gs > target)  # most flush chunks stay inside the window
+        @pl.when(fast)
+        def _():
+            g_dma(target).wait()
+            gstate[0] = target
+            gstate[1] = -1
+
+        @pl.when((gs > target) & ~fast)
         def _():
             n_eff = jnp.minimum(gs - target, TG_NGROUPS)
             base = target + n_eff
 
             def start(i, _):
-                g_dma(base - 1 - i).start()
+                g = base - 1 - i
+
+                @pl.when(g != hstate)
+                def _():
+                    g_dma(g).start()
+
                 return 0
 
             def wait(i, _):
@@ -451,6 +469,14 @@ def backward_kernel(
             jax.lax.fori_loop(0, n_eff, start, 0)
             jax.lax.fori_loop(0, n_eff, wait, 0)
             gstate[0] = target
+            # a prefetched group the slide did NOT cover (a jump past it)
+            # still has a pending start: drain it so its semaphore never
+            # carries into a later wait of the same ring slot
+            @pl.when((hstate >= 0) & (hstate < target))
+            def _():
+                g_dma(hstate).wait()
+
+            gstate[1] = -1
 
     def tile_rows(t):
         """(TG_ROWS, PIX) rows of tile t (global id) from the resident
@@ -477,8 +503,13 @@ def backward_kernel(
         # open-tile data: zeros (the tail "group" past the last sentinel is
         # invalid lanes only; their staged opacity is 0)
         tg_open[...] = jnp.zeros((TG_ROWS, PIX), jnp.float32)
+        # zero the ring: the unconditional head read may touch a slot
+        # before its first DMA (no-flush chunks at walk start) — zeros
+        # keep the selected-away values finite
+        gbuf[...] = jnp.zeros(gbuf.shape, jnp.float32)
         dma(0, c).start()
         gstate[0] = tg_hbm.shape[0]  # nothing resident yet
+        gstate[1] = -1  # no prefetched group pending
 
         @pl.when(nchunks >= 2)
         def _():
@@ -542,27 +573,22 @@ def backward_kernel(
         # adds into s_all rather than selecting a lane's source)
         scar = (grp_c == ng.astype(jnp.float32)) * s_carry[...]
 
-        # ---- head (group 0): only flush chunks touch the group ring (the
-        # combined slide starts + waits exactly the groups the chunk's tile
-        # span needs, so residency is deterministic).
-        # NaN note (ADVICE r3): a flush chunk's head tile lo genuinely
-        # flushed (its sentinel lies inside this executed chunk), so no
-        # uninitialized HBM reaches the arithmetic even on clamped frames;
-        # no-flush chunks take the zero branch without touching the ring.
-        def _head_read():
-            t0h = jnp.clip(lo, tile_start, tile_end - 1)
-            if probe != "nohead":
-                ensure_resident((t0h - tile_start) // GROUP_TILES)
-            return tile_rows(t0h)
-
-        if probe == "nohead":  # timing probe: no group reads at all
-            tgT0 = jnp.zeros((TG_ROWS, PIX), jnp.float32)
-        else:
-            tgT0 = jax.lax.cond(
-                ng >= 1,
-                _head_read,
-                lambda: jnp.zeros((TG_ROWS, PIX), jnp.float32),
-            )
+        # ---- head (group 0): the ring read is UNCONDITIONAL (round 5 —
+        # a lax.cond here returned a (TG_ROWS, PIX) value across a region
+        # boundary on every chunk and serialized the vector pipeline); for
+        # a no-flush chunk t0h is the still-open tile, whose ring slot may
+        # hold stale data or (on clamped frames) NaNs from unflushed HBM —
+        # SAFE because every consumer is a where() SELECT gated by
+        # m0b = ng >= 1 (select, never multiply: 0 x NaN never happens),
+        # and gbuf is zero-initialized at walk start so never-written
+        # slots read as finite zeros. ensure_resident's slide for a
+        # no-flush chunk targets the open tile's group — the same group a
+        # later flush needs, so the slide stays monotone and no extra DMA
+        # class appears.
+        t0h = jnp.clip(lo, tile_start, tile_end - 1)
+        if probe != "nohead":
+            ensure_resident((t0h - tile_start) // GROUP_TILES)
+        tgT0 = tile_rows(t0h)
         m0b = (grp_c == 0.0) & (ng >= 1)
         gc0 = jnp.where(m0b, tgT0[TG_GC + 0 : TG_GC + 1, :], gc0)
         gc1 = jnp.where(m0b, tgT0[TG_GC + 1 : TG_GC + 2, :], gc1)
@@ -597,11 +623,31 @@ def backward_kernel(
             frz_l = jnp.where(mg, tgT[TG_FRZ : TG_FRZ + 1, 0:1], frz_l)
             return gc0, gc1, gc2, gtt, lte, frz_l
 
-        gc0, gc1, gc2, gtt, lte, frz_l = jax.lax.fori_loop(
-            1, ng, assemble, (gc0, gc1, gc2, gtt, lte, frz_l)
-        )
+        # ---- head-group PREFETCH for the next chunk (measured: the
+        # on-demand start+wait in ensure_resident stalls ~1 us per flush
+        # chunk — ~3.3 ms/frame on the 1080p bench via the noflush strip
+        # probe). Issued after this chunk's ring reads; the new group's
+        # ring slot cannot collide with any group still being read (slot
+        # distance would need to be >= TG_NGROUPS > the 10-group max chunk
+        # span). Only one prefetch may be outstanding (gstate[1]); a
+        # pending one stays valid across no-flush chunks and is either
+        # skipped-but-waited by the next slide or drained on a jump.
+        if probe == "":
 
-        def compute():
+            @pl.when((r + 1 < nchunks) & (gstate[1] < 0))
+            def _():
+                c_n = chunk_map_ref[r + 1]
+                lo_n = jnp.maximum(tile_lo_ref[c_n], tile_start)
+                hi_n = jnp.minimum(tile_lo_ref[c_n + 1], tile_end)
+                t0n = jnp.clip(lo_n, tile_start, tile_end - 1)
+                g_n = (t0n - tile_start) // GROUP_TILES
+
+                @pl.when((hi_n > lo_n) & (g_n < gstate[0]))
+                def _():
+                    g_dma(g_n).start()
+                    gstate[1] = g_n
+
+        def compute(gc0, gc1, gc2, gtt, lte, frz_l):
             # ---- alpha with deadness folded into opacity (matches fwd;
             # grp < 0 impossible — see the forward kernel's dead comment).
             # Column orientation: instances on sublanes, pixels on lanes.
@@ -735,7 +781,21 @@ def backward_kernel(
                 + sel0 * s_carry[...]
             )
             new_lt = pre[0:1, :]
-            return gout_rows, new_s, new_lt
+
+            # side-effect tail (runs INSIDE the dispatch branch — values
+            # never cross a region boundary)
+            s_carry[...] = new_s
+            lt_carry[...] = new_lt
+
+            @pl.when(r >= 2)
+            def _():
+                # waits the copy started two iterations ago (same parity
+                # slot; all w_dma copies are byte-identical, the index only
+                # rebuilds the descriptor)
+                w_dma(r % 2, chunk_map_ref[r - 2]).wait()
+
+            wbuf[r % 2] = gout_rows
+            w_dma(r % 2, c).start()
 
         # no skip branch: whole-chunk frozen skips were compacted out of
         # chunk_map by the caller, and their grad rows stay at the
@@ -744,19 +804,26 @@ def backward_kernel(
         # position and masks, and in the partial reducer zero-VALUE rows
         # sorting to the front shift every rank boundary uniformly without
         # changing any prefix difference.)
-        gout_rows, new_s, new_lt = compute()
-        s_carry[...] = new_s
-        lt_carry[...] = new_lt
-
-        @pl.when(r >= 2)
+        #
+        # ---- dispatch on the chunk's group depth (measured: carrying the
+        # five (CHUNK, PIX) assembled operands through the fori_loop spills
+        # them to VMEM around EVERY chunk's loop — ~3.3 ms/frame via the
+        # noflush strip probe — even though the loop body runs for only
+        # ~14% of chunks). Chunks flushing <= 1 tile take a loop-free
+        # branch; the deep branch keeps the fori_loop. Both branches end in
+        # the same side-effect tail, so no vector value crosses a region
+        # boundary on the common path. Exactness: for ng <= 1 the loop is
+        # 0-trip, so the two paths are the same computation.
+        @pl.when(ng <= 1)
         def _():
-            # waits the copy started two iterations ago (same parity slot;
-            # all w_dma copies are byte-identical, the index only rebuilds
-            # the descriptor)
-            w_dma(r % 2, chunk_map_ref[r - 2]).wait()
+            compute(gc0, gc1, gc2, gtt, lte, frz_l)
 
-        wbuf[r % 2] = gout_rows
-        w_dma(r % 2, c).start()
+        @pl.when(ng >= 2)
+        def _():
+            ops = jax.lax.fori_loop(
+                1, ng, assemble, (gc0, gc1, gc2, gtt, lte, frz_l)
+            )
+            compute(*ops)
 
     @pl.when(r == pl.num_programs(0) - 1)
     def _():

@@ -74,10 +74,16 @@ def test_binning_consistency():
     # bbox-corner instances (counted, never more than emitted)
     assert 0 <= int(b.culled) < int(b.num_instances)
     assert int((ends - starts).sum()) == int(b.num_instances) - int(b.culled)
-    # kept-instance boundary prefix is consistent with the kept total
-    bc = np.asarray(b.boundary_cum)
-    assert (np.diff(bc) >= 0).all()
-    assert bc[-1] == int(b.num_instances) - int(b.culled)
+    # gaussian-major perm orders EVERY emission (kept AND culled, round 5):
+    # the first num_instances perm entries, gathered from the sorted
+    # payload, must be ascending in (gid, j) == the emission slot
+    total = int(b.num_instances)
+    presort = np.asarray(b.offset)[np.asarray(b.gid_sorted)] + np.asarray(
+        b.j_sorted
+    )
+    sp = presort[np.asarray(b.perm)[:total]]
+    assert (np.diff(sp) > 0).all()
+    assert sp[0] == 0 and sp[-1] == total - 1
     # one kernel iteration (shifted window) per CHUNK real instances
     ne = ends > starts
     assert (nchunks == -(-(ends - starts) // 128)).all()

@@ -51,6 +51,27 @@ def test_scale_train_probe_smoke(tmp_path):
     assert os.path.exists(os.path.join(out, "scale_train_log.jsonl"))
 
 
+def test_scale_compress_probe_smoke(tmp_path):
+    out = str(tmp_path / "scale_compress")
+    _run(
+        [
+            sys.executable,
+            "tools/scale_compress_probe.py",
+            "--n", "3000",
+            "--n_views", "2",
+            "--res", "256x128",
+            "--finetune_iters", "3",
+            "--out_dir", out,
+        ],
+        timeout=900,
+    )
+    data = json.load(open(os.path.join(out, "SCALE_COMPRESS.json")))
+    assert data["psnr"] is not None and data["psnr"] == data["psnr"]
+    assert data["size_bytes"] > 0
+    assert data["compression_ratio_vs_ply"] > 1.0
+    assert os.path.exists(data["npz"])
+
+
 def test_convergence_run_smoke(tmp_path):
     out = str(tmp_path / "conv")
     _run(

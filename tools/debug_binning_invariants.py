@@ -26,7 +26,6 @@ def check(bn, prep_np, settings, n, cap, label):
     tid = np.asarray(bn.tid_sorted)
     tile_lo = np.asarray(bn.tile_lo)
     perm = np.asarray(bn.perm)
-    bcum = np.asarray(bn.boundary_cum)
     off = np.asarray(bn.offset)
     ends = np.asarray(bn.ends)
     starts = np.asarray(bn.starts)
@@ -60,37 +59,38 @@ def check(bn, prep_np, settings, n, cap, label):
             seg_bad += 1
     print(f"  segment tids pure: {'OK' if seg_bad == 0 else seg_bad}")
 
-    # 4. presort slot consistency: slot_pre = off[gid] + j unique over kept
-    #    real slots, and perm orders slots by it
+    # 4. presort slot consistency: slot_pre = off[gid] + j unique over
+    #    real (kept) slots, and perm orders ALL emissions by it (round 5:
+    #    culled emissions keep their payload, so perm[:total] is exactly
+    #    emission order and the reducer segments at emit_cum)
     real = tid < T
     slot_pre = off[gid] + j
     sp = slot_pre[real]
     print(f"  presort slots unique among real: "
           f"{len(np.unique(sp)) == sp.size}")
-    # perm: positions [0, kept_total) must hit exactly the real slots,
-    # ordered by slot_pre
-    kept_total = int(bcum[-1])
-    print(f"  kept_total={kept_total} #real={int(real.sum())}")
-    pos_slots = perm[:kept_total]
-    print(f"  perm[:kept] hits real slots exactly: "
-          f"{bool(np.sort(pos_slots).size == np.sort(np.where(real)[0]).size and (np.sort(pos_slots) == np.where(real)[0]).all())}")
+    total = int(bn.num_instances)
+    print(f"  total emissions={total} #kept(real)={int(real.sum())}")
+    pos_slots = perm[:total]
     sp_perm = slot_pre[pos_slots]
-    print(f"  perm order ascending in presort slot: "
-          f"{bool((np.diff(sp_perm) > 0).all())}")
+    okp = bool((np.diff(sp_perm) > 0).all()) and int(sp_perm[0]) == 0 and (
+        int(sp_perm[-1]) == total - 1
+    )
+    print(f"  perm[:total] == emission order (incl. culled): {okp}")
 
-    # 5. boundary_cum vs gid of perm-ordered slots: position p holds an
-    #    instance of gaussian g iff bcum[g-1] <= p < bcum[g]
+    # 5. emit_cum vs gid of perm-ordered slots: position p holds an
+    #    emission of gaussian g iff emit_cum[g-1] <= p < emit_cum[g]
+    ecum = np.asarray(bn.emit_cum)
     gid_pos = gid[pos_slots]
-    bprev = np.concatenate([[0], bcum[:-1]])
+    bprev = np.concatenate([[0], ecum[:-1]])
     okb = True
-    for p in range(0, kept_total, max(1, kept_total // 997)):
+    for p in range(0, total, max(1, total // 997)):
         g = gid_pos[p]
-        if not (bprev[g] <= p < bcum[g]):
+        if not (bprev[g] <= p < ecum[g]):
             okb = False
             print(f"    boundary mismatch at pos {p}: gid {g} "
-                  f"range [{bprev[g]}, {bcum[g]})")
+                  f"range [{bprev[g]}, {ecum[g]})")
             break
-    print(f"  boundary_cum consistent: {okb}")
+    print(f"  emit_cum boundaries consistent: {okb}")
 
 
 def main():

@@ -88,7 +88,7 @@ def main():
             st.tiles_x, st.num_tiles, st.num_tiles, cap, cap, st.fast_grad,
             table,
             (b.gid_sorted, b.tid_sorted, b.sent_sorted, b.j_sorted,
-             b.tile_lo, meta, b.perm, b.boundary_cum),
+             b.tile_lo, meta, b.perm, b.emit_cum),
         )
         return out, b.starts, b.ends, b.chunks_exec, b.num_instances
 
