@@ -63,6 +63,7 @@ def main():
     settings = RasterSettings(
         width=width, height=height,
         tanfovx=math.tan(0.6), tanfovy=math.tan(0.6), sh_degree=3,
+        inference=True,
     )
     ev = jnp.asarray([0, 0, 0, 1, 0, 0, 0], jnp.float32)
     bg = jnp.zeros(3)

@@ -97,7 +97,7 @@ def render_and_eval(
         os.makedirs(os.path.join(dump_dir, "gt"), exist_ok=True)
     policy = CapacityPolicy()
     for i, cam in enumerate(cameras):
-        settings = settings_from_intrinsic(cam.intrinsic)
+        settings = settings_from_intrinsic(cam.intrinsic, inference=True)
         out = render_full(
             scene, jnp.asarray(cam.extrinsic_vector), settings, bg, policy
         )

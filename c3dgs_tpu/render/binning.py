@@ -377,22 +377,6 @@ def bin_gaussians(
     )
     sent_sorted = is_sent
 
-    # ---- tile ranges from a SINGLE-KEY sentinel-position sort (round 4):
-    # sentinel rows sort in tile order (their keys ascend with tile), so
-    # their positions in ascending order ARE ends[0..T). Decoupling this
-    # from the gaussian-major perm sort below lets a forward-only graph
-    # (inference) DCE the 2-key perm sort entirely — it exists only for
-    # the backward's grad reduction.
-    pos_c = jnp.arange(cap, dtype=jnp.int32)
-    (sent_packed,) = jax.lax.sort(
-        (jnp.where(is_sent, pos_c, (1 << 24) | pos_c),),
-        num_keys=1,
-        is_stable=False,
-    )
-    ends = _ob(sent_packed[:num_tiles] & ((1 << 24) - 1))
-    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), ends[:-1] + 1])
-    counts = ends - starts
-
     # ---- gaussian-major permutation (backward only): ordering slots by
     # payload puts EVERY emission (kept AND culled — culled keep their
     # real payload, see _enumerate_slots) in gaussian-major order, then
@@ -406,6 +390,38 @@ def bin_gaussians(
         (pj_s, jnp.arange(cap, dtype=jnp.int32)), num_keys=2, is_stable=False
     )
     perm = _ob(perm)
+
+    if settings.inference:
+        # ---- tile ranges from a SINGLE-KEY sentinel-position sort (round
+        # 4): sentinel rows sort in tile order (their keys ascend with
+        # tile), so their positions in ascending order ARE ends[0..T).
+        # Kept for forward-only graphs, where decoupling from the perm
+        # sort above lets XLA DCE the 2-key perm entirely — it exists
+        # only for the backward's grad reduction.
+        pos_c = jnp.arange(cap, dtype=jnp.int32)
+        (sent_packed,) = jax.lax.sort(
+            (jnp.where(is_sent, pos_c, (1 << 24) | pos_c),),
+            num_keys=1,
+            is_stable=False,
+        )
+        ends = _ob(sent_packed[:num_tiles] & ((1 << 24) - 1))
+    else:
+        # ---- training: the VJP needs `perm` anyway, and sentinel t sits
+        # at payload-sorted position K + t (K = #real payloads: kept AND
+        # culled emissions sort below n << j_bits; sentinels (n + t)
+        # ascend in tile order right after). ends[t] = perm[K + t] — the
+        # round-4 sentinel sort (one cap-row pass, ~0.3 ms at 1080p)
+        # folds into the perm sort for free. On an overflowing frame
+        # (total > cap - T) the dynamic_slice clamp can misread ends —
+        # overflow is counted and the frame re-rendered/degraded exactly
+        # as with the round-4 scheme, whose surviving-sentinel positions
+        # were equally partial.
+        k_real = jnp.sum((pj_s < (n << j_bits)).astype(jnp.int32))
+        ends = _ob(
+            jax.lax.dynamic_slice(perm, (k_real,), (num_tiles,))
+        )
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), ends[:-1] + 1])
+    counts = ends - starts
 
     # ---- kernel iteration counts + grad layout: one CHUNK window per
     # CHUNK real instances (the kernels roll-shift the unaligned segment)

@@ -609,15 +609,26 @@ def _blend_bwd(
 blend_gaussians.defvjp(_blend_fwd, _blend_bwd)
 
 
-def assemble_image(out_tiles: jax.Array, settings: RasterSettings):
+def assemble_image(
+    out_tiles: jax.Array, settings: RasterSettings, complete=None
+):
     """(T, OUT_ROWS, PIX) tile blocks -> (color (3,H,W), final_T (H,W)).
 
     Rows 4+ (the backward's lt_final/stop residuals) are sliced off BEFORE
     the block->image transpose: XLA does not propagate the downstream slice
     through it, so transposing all OUT_ROWS cost ~2x in both directions
-    (the VJP zero-pads the sliced rows back, which is free)."""
+    (the VJP zero-pads the sliced rows back, which is free).
+
+    `complete`, if given, is a (T,) bool mask: incomplete tiles (never
+    flushed on an exec-clamped frame) are replaced by empty-tile blocks
+    (T=1 -> pure background). Applied HERE, after the 4-row slice, so the
+    soft-clamp select touches half the bytes of masking the full OUT_ROWS
+    blocks (and so does its VJP)."""
     ty, tx = settings.tiles_y, settings.tiles_x
     used = out_tiles[:, :4]
+    if complete is not None:
+        empty = jnp.zeros((4, used.shape[2]), used.dtype).at[3].set(1.0)
+        used = jnp.where(complete[:, None, None], used, empty[None])
     blocks = used.reshape(ty, tx, 4, TILE_Y, TILE_X)
     full = jnp.transpose(blocks, (2, 0, 3, 1, 4)).reshape(
         4, ty * TILE_Y, tx * TILE_X
@@ -713,12 +724,7 @@ def render(
         complete = (
             jnp.arange(settings.num_tiles, dtype=jnp.int32) < first_unflushed
         )
-        empty = jnp.zeros((out_tiles.shape[1], out_tiles.shape[2]))
-        empty = empty.at[3].set(1.0)  # exp(lt)=1: pure background
-        out_tiles = jnp.where(
-            complete[:, None, None], out_tiles, empty[None]
-        )
-        color, final_t = assemble_image(out_tiles, settings)
+        color, final_t = assemble_image(out_tiles, settings, complete)
         image = color + final_t[None] * bg[:, None, None]
         return {
             "render": image,

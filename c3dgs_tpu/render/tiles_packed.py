@@ -559,9 +559,6 @@ def backward_kernel(
         # so select == sum-of-masked. Chain starts are (1, PIX) rows /
         # scalars — the first where() broadcasts them against its
         # (CHUNK, 1) mask for free.
-        gc0 = tg_open[TG_GC + 0 : TG_GC + 1, :]
-        gc1 = tg_open[TG_GC + 1 : TG_GC + 2, :]
-        gc2 = tg_open[TG_GC + 2 : TG_GC + 3, :]
         gtt = (
             tg_open[TG_GT : TG_GT + 1, :]
             * tg_open[TG_EXP_LT : TG_EXP_LT + 1, :]
@@ -590,9 +587,6 @@ def backward_kernel(
             ensure_resident((t0h - tile_start) // GROUP_TILES)
         tgT0 = tile_rows(t0h)
         m0b = (grp_c == 0.0) & (ng >= 1)
-        gc0 = jnp.where(m0b, tgT0[TG_GC + 0 : TG_GC + 1, :], gc0)
-        gc1 = jnp.where(m0b, tgT0[TG_GC + 1 : TG_GC + 2, :], gc1)
-        gc2 = jnp.where(m0b, tgT0[TG_GC + 2 : TG_GC + 3, :], gc2)
         gtt = jnp.where(
             m0b,
             tgT0[TG_GT : TG_GT + 1, :] * tgT0[TG_EXP_LT : TG_EXP_LT + 1, :],
@@ -600,6 +594,11 @@ def backward_kernel(
         )
         lte = jnp.where(m0b, tgT0[TG_LT : TG_LT + 1, :], lte)
         frz_l = jnp.where(m0b, tgT0[TG_FRZ : TG_FRZ + 1, 0:1], frz_l)
+
+        # pre-ROTATION open-tile dL/dC rows: _gc_seeds / compute_fast run
+        # inside the dispatch branches, i.e. AFTER the rotation below has
+        # overwritten tg_open with the head tile's rows
+        O3 = tg_open[TG_GC : TG_GC + 3, :]
 
         # rotate the open-tile state (chunk c-1's trailing tile is this
         # chunk's group 0) — only when group 0 actually flushed here
@@ -632,7 +631,7 @@ def backward_kernel(
         # span). Only one prefetch may be outstanding (gstate[1]); a
         # pending one stays valid across no-flush chunks and is either
         # skipped-but-waited by the next slide or drained on a jump.
-        if probe == "":
+        if probe in ("", "colsum_hp", "colsum1"):
 
             @pl.when((r + 1 < nchunks) & (gstate[1] < 0))
             def _():
@@ -646,6 +645,169 @@ def backward_kernel(
                 def _():
                     g_dma(g_n).start()
                     gstate[1] = g_n
+
+        def _gc_seeds():
+            """Per-lane dL/dC operands for the general (loop) path: open
+            tile's rows as the broadcast chain start, head rows on group
+            0's sublanes (identical to the pre-round-5 unconditional
+            assembly — the fast path below never materializes these)."""
+            return tuple(
+                jnp.where(
+                    m0b,
+                    tgT0[TG_GC + k : TG_GC + k + 1, :],
+                    O3[k : k + 1, :],
+                )
+                for k in range(3)
+            )
+
+        def compute_fast(gtt, lte, frz_l):
+            """FAST-mode single-flush path (~86% of chunks on the 1080p
+            bench): per-lane tile rows are selects of exactly TWO row sets
+            (head tgT0 / open tg_open), so every gc-derived contraction
+            factors through shared-row matmuls instead of per-lane
+            (CHUNK, PIX) operand assembly:
+
+              gc_dot = select(m0, C @ H, C @ O)          2 small matmuls
+              g_rgb  = select(m0, H @ wgt^T, O @ wgt^T)  2 matmuls
+
+            and the six g_power moments against dx = x - px collapse into
+            ONE shared-basis matmul B(6, PIX) @ g_power^T plus a per-lane
+            polynomial reconstruction (powers of dx expand in px powers
+            with per-lane coefficients; x is the lane's tile-local mean, a
+            (1, CHUNK) row straight off fbuf). Net: the gc assembly
+            selects, gdx/gdy products, the six moment-input products and
+            all nine M=1 colsum matmuls disappear (~12 full-size VPU
+            ops/pair). Error class: matmul inputs are bf16-truncated (the
+            documented fast_grad relative-perturbation class). The moments
+            matmul keeps a 2-pass hi/lo split on g_power because the
+            reconstruction amplifies its error by ~((|x|+32)^2 / <dx^2>)
+            on small splats with far means; at 2-pass (~2^-17) the result
+            stays below the 1-pass truncation class for amplifications up
+            to ~256 (docs/SCALING.md error classes)."""
+            dead_c = tid_c >= jnp.float32(1.0) * tile_end
+            dead_c = dead_c | (slot_c >= frz_l)
+            op_eff_c = jnp.where(dead_c, 0.0, ft[:, 5:6])
+            x_c = ft[:, 0:1]
+            y_c = ft[:, 1:2]
+            a2_c = ft[:, 2:3]
+            b2_c = ft[:, 3:4]
+            c2_c = ft[:, 4:5]
+            dx = x_c - px
+            dy = y_c - py
+            power = jnp.minimum(
+                (a2_c * dx + b2_c * dy) * dx + (c2_c * dy) * dy, 0.0
+            )
+            raw = op_eff_c * jnp.exp(power)
+            capped = raw > MAX_ALPHA
+            alpha = jnp.minimum(MAX_ALPHA, raw)
+            alpha = jnp.where(raw >= MIN_ALPHA, alpha, 0.0)
+
+            tlog = jnp.log1p(-alpha)
+            row_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+            col_j = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+            same = grp_c == grp_r
+            sufM = ((col_j > row_i) & same).astype(jnp.float32)
+            suf_in = _tri_dot_left(sufM, tlog) + tlog
+            pre = lte - suf_in
+            live = pre + tlog >= LOG_STOP_T
+            t_in = jnp.exp(pre)
+            one_m = 1.0 - alpha
+            wgt = jnp.where(live, alpha * t_in, 0.0)
+
+            H3 = tgT0[TG_GC : TG_GC + 3, :]  # (3, PIX) head dL/dC rows
+            # O3 (pre-rotation open-tile rows) from the enclosing scope
+            C3 = ft[:, 6:9]  # (CHUNK, 3) lane colors
+            dot_p = lambda a, b: jax.lax.dot_general(
+                a,
+                b,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dot_r = lambda a, b: jax.lax.dot_general(
+                a,
+                b,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # SELECT (never multiply) against the head matmul: on clamped
+            # frames tgT0 may hold NaNs from unflushed HBM, and select
+            # semantics keep them out exactly like the old per-row chains
+            gc_dot_c = jnp.where(m0b, dot_p(C3, H3), dot_p(C3, O3))
+            gwc = wgt * gc_dot_c
+            suf = _tri_dot_left_1pass(sufM, gwc)
+            s_all = suf + scar + gtt
+
+            g_power = gwc - s_all * (alpha / one_m)
+            g_power = jnp.where(capped, 0.0, g_power)
+
+            # ---- (6, CHUNK) moments against the shared pixel basis.
+            # Basis rows are small integers (< 2^10): the hi/lo split is
+            # EXACT in two bf16 pieces, so both passes lose only g_power's
+            # sub-2^-17 residual.
+            basis = jnp.concatenate(
+                [jnp.ones((1, PIX), jnp.float32), px, py, px * px,
+                 px * py, py * py],
+                axis=0,
+            )
+            b_hi = basis.astype(jnp.bfloat16).astype(jnp.float32)
+            b12 = jnp.concatenate([b_hi, basis - b_hi], axis=0)
+            g_hi = g_power.astype(jnp.bfloat16).astype(jnp.float32)
+            mm = dot_r(b12, g_hi) + dot_r(b12, g_power - g_hi)
+            m6 = mm[:6] + mm[6:]
+            x = f[0:1, :]
+            y = f[1:2, :]
+            s0 = m6[0:1]
+            spx = m6[1:2]
+            spy = m6[2:3]
+            mx = x * s0 - spx
+            my = y * s0 - spy
+            mxx = (x * x) * s0 - 2.0 * (x * spx) + m6[3:4]
+            mxy = (x * y) * s0 - x * spy - y * spx + m6[4:5]
+            myy = (y * y) * s0 - 2.0 * (y * spy) + m6[5:6]
+
+            m0r = (grp_r == 0.0) & (ng >= 1)  # (1, CHUNK) row mask
+            g_rgb = jnp.where(m0r, dot_r(H3, wgt), dot_r(O3, wgt))
+
+            a2 = f[2:3, :]
+            b2 = f[3:4, :]
+            c2 = f[4:5, :]
+            op = jnp.maximum(
+                jnp.where(
+                    (f[TID_ROW : TID_ROW + 1, :] >= jnp.float32(1.0) * tile_end),
+                    0.0,
+                    f[5:6, :],
+                ),
+                1e-12,
+            )
+            g_x = 2.0 * a2 * mx + b2 * my
+            g_y = 2.0 * c2 * my + b2 * mx
+            g_op = s0 / op
+
+            dbg = [
+                f[OFFSET_FIELD_ROW : OFFSET_FIELD_ROW + 1, :],
+                jnp.zeros((NUM_FIELDS - 10, CHUNK), jnp.float32),
+            ]
+            gout_rows = jnp.concatenate(
+                [g_x, g_y, mxx, mxy, myy, g_op, g_rgb] + dbg, axis=0
+            )
+
+            m0 = (grp_c == 0.0)
+            sel0 = jnp.where(ng == 0, 1.0, 0.0)
+            new_s = (
+                jnp.sum(gwc * m0, axis=0, keepdims=True)
+                + sel0 * s_carry[...]
+            )
+            new_lt = pre[0:1, :]
+
+            s_carry[...] = new_s
+            lt_carry[...] = new_lt
+
+            @pl.when(r >= 2)
+            def _():
+                w_dma(r % 2, chunk_map_ref[r - 2]).wait()
+
+            wbuf[r % 2] = gout_rows
+            w_dma(r % 2, c).start()
 
         def compute(gc0, gc1, gc2, gtt, lte, frz_l):
             # ---- alpha with deadness folded into opacity (matches fwd;
@@ -716,10 +878,27 @@ def backward_kernel(
 
             if not fast_grad:
                 colsum_1 = colsum
+                if probe == "colsum_hp":
+                    # probe: one precision-HIGHEST matmul instead of the
+                    # manual 2-pass split (same f32-accuracy class; measures
+                    # whether Mosaic's multi-pass beats 2x VPU split ops)
+                    def colsum(x):
+                        return jax.lax.dot_general(
+                            ones_row,
+                            x,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )
 
-                def colsum(x):
-                    hi_ = x.astype(jnp.bfloat16).astype(jnp.float32)
-                    return colsum_1(hi_) + colsum_1(x - hi_)
+                elif probe == "colsum1":
+                    pass  # ceiling probe: keep the 1-pass colsum in exact
+                    # mode (INEXACT — bounds the split-op cost only)
+                else:
+
+                    def colsum(x):
+                        hi_ = x.astype(jnp.bfloat16).astype(jnp.float32)
+                        return colsum_1(hi_) + colsum_1(x - hi_)
 
             # per-lane color grads: g_rgb[ch, i] = sum_p GC_ch[i,p] wgt[i,p]
             g_rgb = jnp.concatenate(
@@ -816,12 +995,15 @@ def backward_kernel(
         # 0-trip, so the two paths are the same computation.
         @pl.when(ng <= 1)
         def _():
-            compute(gc0, gc1, gc2, gtt, lte, frz_l)
+            if fast_grad:
+                compute_fast(gtt, lte, frz_l)
+            else:
+                compute(*_gc_seeds(), gtt, lte, frz_l)
 
         @pl.when(ng >= 2)
         def _():
             ops = jax.lax.fori_loop(
-                1, ng, assemble, (gc0, gc1, gc2, gtt, lte, frz_l)
+                1, ng, assemble, (*_gc_seeds(), gtt, lte, frz_l)
             )
             compute(*ops)
 

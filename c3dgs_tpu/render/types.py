@@ -64,6 +64,13 @@ class RasterSettings:
     # lanes, grad buffer == instance capacity. False falls back to the
     # round-1 per-tile window kernels (render/tiles.py).
     packed: bool = True
+    # forward-only rendering (no VJP will be taken): binning keeps the
+    # tile ranges on a dedicated sentinel-position sort so the gaussian-
+    # major perm sort (backward-only bookkeeping) dead-code-eliminates.
+    # False (training): ranges are read out of the perm sort instead —
+    # one fewer cap-row sort per training frame. Pure graph-shape knob:
+    # ends/starts values are identical either way.
+    inference: bool = False
 
     @property
     def focal_x(self) -> float:

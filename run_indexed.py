@@ -42,7 +42,7 @@ def main(argv=None):
             spatial_lr_scale=scene.cameras_extent,
         )
     cam = cams[0]
-    settings = settings_from_intrinsic(cam.intrinsic)
+    settings = settings_from_intrinsic(cam.intrinsic, inference=True)
     import jax
 
     out = jax.jit(trainer.render_scene, static_argnums=(2,))(

@@ -223,7 +223,9 @@ def training(
                     out = render_full(
                         state.scene.update_observers(),
                         jnp.asarray(tc.extrinsic_vector),
-                        settings_from_intrinsic(tc.intrinsic),
+                        settings_from_intrinsic(
+                            tc.intrinsic, inference=True
+                        ),
                         bg,
                     )
                     p, _ = _jit_metrics(
