@@ -96,14 +96,33 @@ def main():
             )(_tr.render_scene(scene, ev, settings, bg))
         )()
         need, grad_need = int(probe[0]), int(probe[1])
+        # probe-exact buckets (round 5; the slot bucket carried a 1.12
+        # margin through round 4 for no stated reason): the probe is
+        # deterministic on this static frame, the 5-bit bucket rounding
+        # already adds 0-6.7% headroom, and the reference allocates
+        # exactly its dynamic num_rendered readback with no margin at all
+        # (rasterizer_impl.cu:279) — the policy's overflow counters +
+        # re-render path guard the dynamic case in real training
         policy = CapacityPolicy(
-            initial=int(need * 1.12), grad_initial=int(grad_need * 1.04)
+            initial=need + settings.num_tiles,  # + one sentinel row per tile
+            grad_initial=grad_need,
         )
         settings = policy.apply(settings)
         print(
             f"# instances={need} -> capacity bucket {settings.instance_capacity};"
             f" grad_total={grad_need} -> {settings.grad_capacity}",
             flush=True,
+        )
+        # honesty gate: the benched frame must be complete — no instances
+        # dropped, no chunks clamped (a degraded frame would bench faster)
+        chk = jax.jit(
+            lambda: (
+                lambda o: (o["overflow"], o["grad_overflow"])
+            )(_tr.render_scene(scene, ev, settings, bg))
+        )()
+        assert int(chk[0]) == 0 and int(chk[1]) == 0, (
+            f"bench frame degraded: overflow={int(chk[0])} "
+            f"grad_overflow={int(chk[1])}"
         )
 
     def loss_for(settings):

@@ -75,22 +75,48 @@ def main():
         # the scene rides as an ARGUMENT: closure constants of multi-million
         # row scenes exceed the tunneled remote-compile body limit (HTTP 413)
         probe = jax.jit(
-            lambda s: trainer.render_scene(s, ev, probe_settings, bg)[
-                "num_instances"
-            ]
+            lambda s: (
+                lambda o: (o["num_instances"], o["grad_total"])
+            )(trainer.render_scene(s, ev, probe_settings, bg))
         )(sc)
-        st = CapacityPolicy(initial=int(int(probe) * 1.12)).apply(settings)
+        need, exec_need = int(probe[0]), int(probe[1])
+        # the probed execution bucket bounds the stage gather + kernel grid
+        # at the sorted-content row count (exec_cap) instead of the full
+        # slot domain — same policy the training bench uses
+        st = CapacityPolicy(
+            initial=need + settings.num_tiles,  # + per-tile sentinel rows
+            grad_initial=exec_need,
+        ).apply(settings)
 
         fn = jax.jit(
             lambda s, e, st=st: trainer.render_scene(s, e, st, bg)["render"]
         )
+
+        # steady-state frame cost: scan over per-frame camera vectors (one
+        # dispatch per block — same protocol as bench.py; a local chip has
+        # no tunnel dispatch gap); each frame's image is consumed into the
+        # carry so no frame is DCE'd
+        def scan_block(evs, s):
+            def body(acc, ev_i):
+                return acc + jnp.sum(fn(s, ev_i)), None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), evs)
+            return acc
+
+        scan_jit = jax.jit(scan_block)
+        evs = jnp.tile(ev[None], (iters, 1))
+        float(scan_jit(evs, sc))  # compile
+        t0 = time.perf_counter()
+        float(scan_jit(evs, sc))
+        ms = (time.perf_counter() - t0) / iters * 1000.0
+
         img = fn(sc, ev)
-        float(jnp.sum(img))  # force through the tunnel
+        float(jnp.sum(img))  # compile + force through the tunnel
         t0 = time.perf_counter()
         for _ in range(iters):
             img = fn(sc, ev)
         float(jnp.sum(img))
-        ms = (time.perf_counter() - t0) / iters * 1000.0
+        dispatch_ms = (time.perf_counter() - t0) / iters * 1000.0
         print(
             json.dumps(
                 {
@@ -98,6 +124,7 @@ def main():
                     "value": round(ms, 3),
                     "unit": "ms",
                     "vs_baseline": round(BASELINE_MS / ms, 3),
+                    "dispatch_ms": round(dispatch_ms, 3),
                 }
             )
         )

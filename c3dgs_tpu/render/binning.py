@@ -114,6 +114,39 @@ def _row_gather(table: jax.Array, idx: jax.Array) -> jax.Array:
     return _ob(table[idx])
 
 
+def blocked_prefix(v: jax.Array, k: int = 512) -> jax.Array:
+    """Inclusive prefix sum along axis 0 of (rows, C) via blocked
+    lower-triangular matmuls + a block-offset cumsum.
+
+    XLA lowers a length-500k jnp.cumsum as ~19 log-doubling passes over
+    the whole array (~0.9 ms/frame on the 1080p bench); one batched
+    (k, k) triangular matmul at Precision.HIGHEST does the within-block
+    prefixes in a single MXU pass and measures ~0.12 ms at BETTER max
+    error than the sequential f32 scan (2.8e-4 vs 5.2e-4 against a
+    float64 oracle, tools/cumsum_probe.py — the blocked order also
+    shortens the dependent-rounding chains)."""
+    rows, c = v.shape
+    pad = (-rows) % k
+    if pad:
+        v = jnp.concatenate([v, jnp.zeros((pad, c), v.dtype)], axis=0)
+    nb = v.shape[0] // k
+    y = v.reshape(nb, k, c)
+    row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    tri = (col <= row).astype(v.dtype)
+    within = jnp.einsum(
+        "rk,bkc->brc",
+        tri,
+        y,
+        preferred_element_type=v.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    offs = jnp.cumsum(within[:, -1, :], axis=0)
+    offs = jnp.concatenate([jnp.zeros((1, c), v.dtype), offs[:-1]], axis=0)
+    out = (within + offs[:, None, :]).reshape(-1, c)
+    return out[:rows]
+
+
 def _row_gather_sorted(table: jax.Array, idx: jax.Array) -> jax.Array:
     """Row gather with ASCENDING in-bounds indices: indices_are_sorted lets
     the TPU gather engine stream rows instead of random-accessing them."""

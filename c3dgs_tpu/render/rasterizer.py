@@ -39,6 +39,7 @@ from .binning import (
     _rank_in_sorted,
     _row_gather_sorted,
     bin_gaussians,
+    blocked_prefix,
     per_gaussian_table,
 )
 from .preprocess import preprocess
@@ -246,11 +247,13 @@ def _segment_prefix_diff(d_pre, end_idx, valid, compensated: bool):
     live = d_pre.shape[1]
     n = end_idx.shape[0]
     rows = d_pre.shape[0]
-    cs = _ob(jnp.cumsum(d_pre, axis=0))
+    # blocked matmul prefix: ~7x cheaper than the 19-pass XLA scan at
+    # better max error (binning.blocked_prefix)
+    cs = _ob(blocked_prefix(d_pre))
     if compensated:
         prev_cs = jnp.concatenate([jnp.zeros((1, live), cs.dtype), cs[:-1]], 0)
         r = d_pre - (cs - prev_cs)
-        cr = _ob(jnp.cumsum(r, axis=0))
+        cr = _ob(blocked_prefix(r))
         cs = jnp.concatenate([cs, cr], axis=1)
     cs_end = jnp.where(
         valid[:, None],

@@ -631,7 +631,7 @@ def backward_kernel(
         # span). Only one prefetch may be outstanding (gstate[1]); a
         # pending one stays valid across no-flush chunks and is either
         # skipped-but-waited by the next slide or drained on a jump.
-        if probe in ("", "colsum_hp", "colsum1"):
+        if probe in ("", "colsum_hp", "colsum1", "oldfast", "hybrid", "oldmm"):
 
             @pl.when((r + 1 < nchunks) & (gstate[1] < 0))
             def _():
@@ -732,7 +732,13 @@ def backward_kernel(
             # SELECT (never multiply) against the head matmul: on clamped
             # frames tgT0 may hold NaNs from unflushed HBM, and select
             # semantics keep them out exactly like the old per-row chains
-            gc_dot_c = jnp.where(m0b, dot_p(C3, H3), dot_p(C3, O3))
+            if probe == "hybrid":  # A/B: per-row gc assembly, basis moments
+                gc0, gc1, gc2 = _gc_seeds()
+                gc_dot_c = (
+                    gc0 * ft[:, 6:7] + gc1 * ft[:, 7:8] + gc2 * ft[:, 8:9]
+                )
+            else:
+                gc_dot_c = jnp.where(m0b, dot_p(C3, H3), dot_p(C3, O3))
             gwc = wgt * gc_dot_c
             suf = _tri_dot_left_1pass(sufM, gwc)
             s_all = suf + scar + gtt
@@ -740,33 +746,64 @@ def backward_kernel(
             g_power = gwc - s_all * (alpha / one_m)
             g_power = jnp.where(capped, 0.0, g_power)
 
-            # ---- (6, CHUNK) moments against the shared pixel basis.
-            # Basis rows are small integers (< 2^10): the hi/lo split is
-            # EXACT in two bf16 pieces, so both passes lose only g_power's
-            # sub-2^-17 residual.
-            basis = jnp.concatenate(
-                [jnp.ones((1, PIX), jnp.float32), px, py, px * px,
-                 px * py, py * py],
-                axis=0,
-            )
-            b_hi = basis.astype(jnp.bfloat16).astype(jnp.float32)
-            b12 = jnp.concatenate([b_hi, basis - b_hi], axis=0)
-            g_hi = g_power.astype(jnp.bfloat16).astype(jnp.float32)
-            mm = dot_r(b12, g_hi) + dot_r(b12, g_power - g_hi)
-            m6 = mm[:6] + mm[6:]
-            x = f[0:1, :]
-            y = f[1:2, :]
-            s0 = m6[0:1]
-            spx = m6[1:2]
-            spy = m6[2:3]
-            mx = x * s0 - spx
-            my = y * s0 - spy
-            mxx = (x * x) * s0 - 2.0 * (x * spx) + m6[3:4]
-            mxy = (x * y) * s0 - x * spy - y * spx + m6[4:5]
-            myy = (y * y) * s0 - 2.0 * (y * spy) + m6[5:6]
+            if probe == "oldmm":  # A/B: factored gc, colsum-based moments
+                ones_row = jnp.ones((1, PIX), jnp.float32)
+                colsum1 = lambda v: jax.lax.dot_general(
+                    ones_row,
+                    v,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                gdx = g_power * dx
+                gdy = g_power * dy
+                s0 = colsum1(g_power)
+                mx = colsum1(gdx)
+                my = colsum1(gdy)
+                mxx = colsum1(gdx * dx)
+                mxy = colsum1(gdx * dy)
+                myy = colsum1(gdy * dy)
+            else:
+                # ---- (6, CHUNK) moments against the shared pixel basis.
+                # Basis rows are small integers (< 2^10): the hi/lo split
+                # is EXACT in two bf16 pieces, so both passes lose only
+                # g_power's sub-2^-17 residual.
+                basis = jnp.concatenate(
+                    [jnp.ones((1, PIX), jnp.float32), px, py, px * px,
+                     px * py, py * py],
+                    axis=0,
+                )
+                b_hi = basis.astype(jnp.bfloat16).astype(jnp.float32)
+                b12 = jnp.concatenate([b_hi, basis - b_hi], axis=0)
+                g_hi = g_power.astype(jnp.bfloat16).astype(jnp.float32)
+                mm = dot_r(b12, g_hi) + dot_r(b12, g_power - g_hi)
+                m6 = mm[:6] + mm[6:]
+                x = f[0:1, :]
+                y = f[1:2, :]
+                s0 = m6[0:1]
+                spx = m6[1:2]
+                spy = m6[2:3]
+                mx = x * s0 - spx
+                my = y * s0 - spy
+                mxx = (x * x) * s0 - 2.0 * (x * spx) + m6[3:4]
+                mxy = (x * y) * s0 - x * spy - y * spx + m6[4:5]
+                myy = (y * y) * s0 - 2.0 * (y * spy) + m6[5:6]
 
             m0r = (grp_r == 0.0) & (ng >= 1)  # (1, CHUNK) row mask
-            g_rgb = jnp.where(m0r, dot_r(H3, wgt), dot_r(O3, wgt))
+            if probe == "hybrid":
+                ones_row = jnp.ones((1, PIX), jnp.float32)
+                colsum1 = lambda v: jax.lax.dot_general(
+                    ones_row,
+                    v,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                g_rgb = jnp.concatenate(
+                    [colsum1(gc0 * wgt), colsum1(gc1 * wgt),
+                     colsum1(gc2 * wgt)],
+                    axis=0,
+                )
+            else:
+                g_rgb = jnp.where(m0r, dot_r(H3, wgt), dot_r(O3, wgt))
 
             a2 = f[2:3, :]
             b2 = f[3:4, :]
@@ -995,7 +1032,9 @@ def backward_kernel(
         # 0-trip, so the two paths are the same computation.
         @pl.when(ng <= 1)
         def _():
-            if fast_grad:
+            # probe "oldfast": route the single-flush chunks through the
+            # general path (A/B harness for the factored fast path)
+            if fast_grad and probe != "oldfast":
                 compute_fast(gtt, lte, frz_l)
             else:
                 compute(*_gc_seeds(), gtt, lte, frz_l)
