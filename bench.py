@@ -169,16 +169,29 @@ def main():
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), evs)
         return acc
 
+    # marginal-cost protocol: time a short and a long scan and difference
+    # them — the block-edge cost (dispatch ramp + the final readback
+    # round-trip, ~19 ms/call through the tunnel) cancels EXACTLY, leaving
+    # the steady-state per-frame cost a training loop pays. Both scans are
+    # the same compiled program shape (length rides the xs leading dim).
     scan_jit = jax.jit(scan_block)
-    evs = jnp.tile(ev[None], (iters, 1))
-    float(scan_jit(evs, *args))  # compile
-    best = float("inf")
-    for _ in range(blocks):
-        t0 = time.perf_counter()
-        acc = scan_jit(evs, *args)
-        float(acc)
-        best = min(best, (time.perf_counter() - t0) / iters * 1000.0)
-    ms = best
+    long_iters = 3 * iters
+    evs_s = jnp.tile(ev[None], (iters, 1))
+    evs_l = jnp.tile(ev[None], (long_iters, 1))
+    float(scan_jit(evs_s, *args))  # compile short
+    float(scan_jit(evs_l, *args))  # compile long
+
+    def best_of(evs_k):
+        best = float("inf")
+        for _ in range(blocks):
+            t0 = time.perf_counter()
+            float(scan_jit(evs_k, *args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_short = best_of(evs_s)
+    t_long = best_of(evs_l)
+    ms = (t_long - t_short) / (long_iters - iters) * 1000.0
 
     # ---- per-dispatch frame cost (the round-1..4 protocol), reported
     # alongside for transparency: best-of-blocks marginal frame cost with

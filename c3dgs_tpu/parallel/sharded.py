@@ -162,8 +162,8 @@ def _gathered_image(out_l, settings: RasterSettings, bg):
     never needed remotely; slicing before the gather halves its bytes."""
     out_full = jax.lax.all_gather(out_l[:, :4], "tiles", axis=0, tiled=True)
     out_full = out_full[: settings.num_tiles]
-    color, final_t = assemble_image(out_full, settings)
-    return color + final_t[None] * bg[:, None, None]
+    image, _ = assemble_image(out_full, settings, None, bg)
+    return image
 
 
 def render_tile_sharded(

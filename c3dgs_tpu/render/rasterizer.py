@@ -613,7 +613,7 @@ blend_gaussians.defvjp(_blend_fwd, _blend_bwd)
 
 
 def assemble_image(
-    out_tiles: jax.Array, settings: RasterSettings, complete=None
+    out_tiles: jax.Array, settings: RasterSettings, complete=None, bg=None
 ):
     """(T, OUT_ROWS, PIX) tile blocks -> (color (3,H,W), final_T (H,W)).
 
@@ -626,19 +626,43 @@ def assemble_image(
     flushed on an exec-clamped frame) are replaced by empty-tile blocks
     (T=1 -> pure background). Applied HERE, after the 4-row slice, so the
     soft-clamp select touches half the bytes of masking the full OUT_ROWS
-    blocks (and so does its VJP)."""
+    blocks (and so does its VJP).
+
+    `bg` (3,), if given: the background composite happens in TILE-BLOCK
+    space, so the block->image transpose moves 3 rows instead of 4, the
+    image-space `color + T*bg` pass (and its VJP mirror) disappears, and
+    final_T gets its own 1-row assembly that XLA dead-code-eliminates
+    whenever the caller ignores it. Returns (image, final_T)."""
     ty, tx = settings.tiles_y, settings.tiles_x
     used = out_tiles[:, :4]
+
+    def to_image(rows):  # (T, k, PIX) -> (k, H, W)
+        k = rows.shape[1]
+        blocks = rows.reshape(ty, tx, k, TILE_Y, TILE_X)
+        full = jnp.transpose(blocks, (2, 0, 3, 1, 4)).reshape(
+            k, ty * TILE_Y, tx * TILE_X
+        )
+        return full[:, : settings.height, : settings.width]
+
+    if bg is None:
+        if complete is not None:
+            empty = jnp.zeros((4, used.shape[2]), used.dtype).at[3].set(1.0)
+            used = jnp.where(complete[:, None, None], used, empty[None])
+        full = to_image(used)
+        return full[:3], full[3]
+    composed = used[:, :3] + used[:, 3:4] * bg[:, None]
+    ft_rows = used[:, 3:4]
     if complete is not None:
-        empty = jnp.zeros((4, used.shape[2]), used.dtype).at[3].set(1.0)
-        used = jnp.where(complete[:, None, None], used, empty[None])
-    blocks = used.reshape(ty, tx, 4, TILE_Y, TILE_X)
-    full = jnp.transpose(blocks, (2, 0, 3, 1, 4)).reshape(
-        4, ty * TILE_Y, tx * TILE_X
-    )
-    color = full[:3, : settings.height, : settings.width]
-    final_t = full[3, : settings.height, : settings.width]
-    return color, final_t
+        # mask AFTER compositing: an empty tile composes to exactly bg
+        # (color 0 + T 1 * bg), so the select runs on 3 rows with a
+        # broadcast fill — no empty-block buffer, and the final_T row's
+        # mask rides its own (DCE-able) assembly
+        m = complete[:, None, None]
+        composed = jnp.where(m, composed, bg[:, None])
+        ft_rows = jnp.where(m, ft_rows, 1.0)
+    image = to_image(composed)
+    final_t = to_image(ft_rows)[0]
+    return image, final_t
 
 
 def render(
@@ -727,8 +751,7 @@ def render(
         complete = (
             jnp.arange(settings.num_tiles, dtype=jnp.int32) < first_unflushed
         )
-        color, final_t = assemble_image(out_tiles, settings, complete)
-        image = color + final_t[None] * bg[:, None, None]
+        image, final_t = assemble_image(out_tiles, settings, complete, bg)
         return {
             "render": image,
             "final_T": final_t,
@@ -767,8 +790,7 @@ def render(
         jnp.arange(settings.num_tiles, dtype=jnp.int32),
         (jnp.int32(0), binning.grad_total),
     )
-    color, final_t = assemble_image(out_tiles, settings)
-    image = color + final_t[None] * bg[:, None, None]
+    image, final_t = assemble_image(out_tiles, settings, None, bg)
     return {
         "render": image,
         "final_T": final_t,

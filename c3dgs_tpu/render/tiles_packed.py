@@ -537,7 +537,9 @@ def backward_kernel(
         f = fbuf[r % 2]
         # the ONE per-chunk relayout: per-lane field COLUMNS for the
         # (CHUNK, PIX) alpha path (the epilogue keeps using f's rows)
-        ft = f[...].T  # (CHUNK, NUM_FIELDS)
+        ft = f[...].T  # (CHUNK, NUM_FIELDS); an MXU 2-pass transpose
+        # variant measured exactly neutral here (round 5) — the vector
+        # .T is not on the critical path at this chunk shape
 
         # tile-local pixel coordinates as (1, PIX) rows
         pix = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)

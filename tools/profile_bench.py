@@ -63,8 +63,9 @@ def build_step(packed: bool, n=300_000, width=1920, height=1080):
         )(trainer.render_scene(scene, ev, settings, bg))
     )()
     need, grad_need = int(probe[0]), int(probe[1])
+    # probe-exact buckets, matching bench.py (round 5)
     policy = CapacityPolicy(
-        initial=int(need * 1.12), grad_initial=max(int(grad_need * 1.04), 1)
+        initial=need + settings.num_tiles, grad_initial=max(grad_need, 1)
     )
     settings = policy.apply(settings)
     print(f"# instances={need} cap={settings.instance_capacity}", flush=True)
