@@ -290,9 +290,11 @@ def _reduce_instance_grads_packed(
     live = NUM_USED_FIELDS
     n = boundaries.shape[0]
     rows = grads.shape[1]  # exec_cap
-    rows_all = _ob(grads.T)  # (exec_cap, NUM_FIELDS)
+    # transpose only the live rows: the minor-dim-16 transpose is the slow
+    # XLA transpose class, and the row gather's cost is width-independent
+    rows_all = _ob(grads[:live].T)  # (exec_cap, live)
     p = perm[:rows]
-    d_pre = _ob(rows_all[jnp.minimum(p, rows - 1)])[:, :live]
+    d_pre = _ob(rows_all[jnp.minimum(p, rows - 1)])
     emit_total = boundaries[-1]
     idx = jnp.arange(rows, dtype=jnp.int32)
     d_pre = jnp.where(
@@ -505,11 +507,11 @@ def _reduce_instance_grads(
     # (key, pos) lexicographic with pos unique == stable-by-key, minus the
     # hidden iota a stable sort adds
     key_s, idx_s = jax.lax.sort((key, pos), num_keys=2, is_stable=False)
-    rows_all = _ob(grads.T)  # (grad_cap, NUM_FIELDS), bandwidth-cheap
+    rows_all = _ob(grads[:live].T)  # (grad_cap, live), bandwidth-cheap
     # a tile-sharded local buffer can be SMALLER than the global slot
     # domain `cap`; all row-level work below runs at min(grad_cap, cap)
     key_c = key_s[:cap]
-    d_pre = _ob(rows_all[idx_s[:cap]])[:, :live]  # (cap, live) gaussian-major
+    d_pre = _ob(rows_all[idx_s[:cap]])  # (cap, live) gaussian-major
     # rows keyed >= cap (uncovered / sentinel-tagged / dead lanes) may hold
     # garbage; they sort to the tail but can still land inside [0, cap)
     d_pre = jnp.where((key_c < cap)[:, None], d_pre, 0.0)

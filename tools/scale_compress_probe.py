@@ -202,7 +202,16 @@ def main():
     results = render_and_eval(compressed, cams, npz_path=npz_path)
     base = render_and_eval(scene, cams)
     results["uncompressed_psnr"] = base["psnr"]
-    results["psnr_drop"] = base["psnr"] - results["psnr"]
+    # GT = the scene's own renders, so base PSNR is infinite by
+    # construction and a naive drop is Infinity; the meaningful figure is
+    # the compressed scene's PSNR AGAINST the uncompressed renders (pure
+    # compression loss — a finetune cannot out-train a perfect baseline)
+    results["fidelity_vs_uncompressed_psnr"] = results["psnr"]
+    results["psnr_drop"] = (
+        base["psnr"] - results["psnr"]
+        if np.isfinite(base["psnr"])
+        else None
+    )
     timings["eval"] = time.time() - t0
     timings["total"] = sum(timings.values())
 
@@ -216,6 +225,9 @@ def main():
         "finetune_iterations": args.finetune_iters,
         "psnr": results.get("psnr"),
         "uncompressed_psnr": results.get("uncompressed_psnr"),
+        "fidelity_vs_uncompressed_psnr": results.get(
+            "fidelity_vs_uncompressed_psnr"
+        ),
         "psnr_drop": results.get("psnr_drop"),
         "ssim": results.get("ssim"),
         "size_bytes": results.get("size_bytes"),
